@@ -17,6 +17,14 @@ if "xla_force_host_platform_device_count" not in _flags:
 # opt in via interpret mode explicitly.
 os.environ.setdefault("PGT_SPMM_BACKEND", "xla")
 
+import jax  # noqa: E402
+
+# The axon TPU plugin (sitecustomize) force-selects itself as the default
+# platform regardless of JAX_PLATFORMS; override before backends initialize.
+jax.config.update("jax_platforms", "cpu")
+# Parity tests compare against f32 torch numerics.
+jax.config.update("jax_default_matmul_precision", "highest")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
