@@ -1,0 +1,127 @@
+"""Epoch iteration: shuffle, batch, and pack host graphs into static shapes.
+
+Replaces the reference's torch ``DataLoader`` + collate machinery
+(chem/dataloader.py, chem/batch.py). Batches are ``batch_size`` graphs in
+shuffled order (matching reference epoch semantics,
+chem/pretrain_masking.py:124); each batch is packed into fixed
+``(max_nodes, max_edges, batch_size)`` buffers sized once per dataset so XLA
+compiles exactly one shape. A batch whose graphs overflow the buffers drops
+trailing graphs into the next batch (rare when buffers are sized from the
+dataset's own statistics via :func:`buffer_sizes`).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from pretrain_gnns_tpu.core.graphs import Graph, PackedGraphs, pack_graphs
+
+
+def buffer_sizes(
+    graphs: Sequence[Graph],
+    batch_size: int,
+    slack: float = 1.15,
+    multiple: int = 128,
+) -> Tuple[int, int]:
+    """Choose (max_nodes, max_edges): enough for an average batch plus
+    slack, never less than the single largest graph, rounded up to a
+    lane-friendly multiple."""
+    n = np.array([g.num_nodes for g in graphs])
+    e = np.array([g.num_edges for g in graphs])
+    max_nodes = max(
+        int(n.mean() * batch_size * slack), int(n.max()) + 1
+    )
+    max_edges = max(
+        int(e.mean() * batch_size * slack) + max_nodes // 8,
+        int(e.max()) + 1,
+    )
+    r = lambda v: int(math.ceil(v / multiple) * multiple)
+    return r(max_nodes), r(max_edges)
+
+
+class PackedLoader:
+    """Iterable over packed batches.
+
+    Args:
+      graphs: host dataset.
+      batch_size: graph slots per batch (static).
+      max_nodes/max_edges: static buffer sizes (default: buffer_sizes()).
+      shuffle: reshuffle each epoch (seeded; epoch advances the stream).
+      drop_last: drop the final partial batch (train) or keep it (eval).
+      transform: per-graph callable applied at iteration time (the L1 SSL
+        transforms — MaskAtom etc. — run here, like reference DataLoader
+        workers applying dataset.transform per __getitem__).
+      extra_pad: forwarded to pack_graphs for transform-emitted fields.
+    """
+
+    def __init__(
+        self,
+        graphs: Sequence[Graph],
+        batch_size: int,
+        max_nodes: Optional[int] = None,
+        max_edges: Optional[int] = None,
+        shuffle: bool = True,
+        drop_last: bool = False,
+        seed: int = 0,
+        transform: Optional[Callable[[Graph, np.random.Generator], Graph]] = None,
+        extra_pad=None,
+    ):
+        self.graphs = list(graphs)
+        self.batch_size = batch_size
+        if max_nodes is None or max_edges is None:
+            mn, me = buffer_sizes(self.graphs, batch_size)
+            max_nodes = max_nodes or mn
+            max_edges = max_edges or me
+        self.max_nodes, self.max_edges = max_nodes, max_edges
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.transform = transform
+        self.extra_pad = extra_pad
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.graphs)
+        return n // self.batch_size if self.drop_last else math.ceil(
+            n / self.batch_size
+        )
+
+    def __iter__(self) -> Iterator[PackedGraphs]:
+        order = np.arange(len(self.graphs))
+        rng = np.random.default_rng((self.seed, self._epoch))
+        if self.shuffle:
+            rng.shuffle(order)
+        self._epoch += 1
+
+        def _pack(batch: List[Graph]) -> PackedGraphs:
+            return pack_graphs(
+                batch,
+                self.max_nodes,
+                self.max_edges,
+                self.batch_size,
+                extra_pad=self.extra_pad,
+            )
+
+        batch: List[Graph] = []
+        n_nodes = n_edges = 0
+        for idx in order:
+            g = self.graphs[idx]
+            if self.transform is not None:
+                g = self.transform(g, rng)
+            if batch and (
+                n_nodes + g.num_nodes > self.max_nodes
+                or n_edges + g.num_edges > self.max_edges
+            ):
+                yield _pack(batch)  # buffer overflow: flush early
+                batch, n_nodes, n_edges = [], 0, 0
+            batch.append(g)
+            n_nodes += g.num_nodes
+            n_edges += g.num_edges
+            if len(batch) == self.batch_size:
+                yield _pack(batch)
+                batch, n_nodes, n_edges = [], 0, 0
+        if batch and not self.drop_last:
+            yield _pack(batch)

@@ -1,0 +1,209 @@
+"""Downstream fine-tuning — the reference's chem/finetune.py as a library.
+
+Pipeline (SURVEY.md §3.1): dataset → split → PackedLoader → GNNGraphPred
+(optionally trunk-initialized from a pretrained checkpoint) → masked BCE →
+Adam(lr_scale groups) → per-epoch train/val/test ROC-AUC → post-hoc model
+selection = test AUC at the argmax-val-AUC epoch (chem/parse_result.py:7-20).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from pretrain_gnns_tpu.core.graphs import Graph, PackedGraphs
+from pretrain_gnns_tpu.data.packing import PackedLoader
+from pretrain_gnns_tpu.models.chem import GNNGraphPred
+from pretrain_gnns_tpu.objectives import losses
+from pretrain_gnns_tpu.train import metrics, optim
+from pretrain_gnns_tpu.train.state import TrainState
+
+# Reference task counts (chem/finetune.py:125-144)
+NUM_TASKS = {
+    "tox21": 12, "hiv": 1, "pcba": 128, "muv": 17, "bace": 1, "bbbp": 1,
+    "toxcast": 617, "sider": 27, "clintox": 2, "mutag": 1, "ptc_mr": 1,
+}
+
+
+@dataclasses.dataclass
+class FinetuneConfig:
+    """Mirrors the argparse surface of chem/finetune.py:83-115."""
+
+    num_tasks: int = 1
+    num_layer: int = 5
+    emb_dim: int = 300
+    dropout_ratio: float = 0.5
+    graph_pooling: str = "mean"
+    jk: str = "last"
+    gnn_type: str = "gin"
+    lr: float = 1e-3
+    lr_scale: float = 1.0
+    decay: float = 0.0
+    batch_size: int = 32
+    epochs: int = 100
+    seed: int = 0  # split seed
+    runseed: int = 0  # init / shuffle seed
+    loss_kind: str = "chem"  # chem masked {-1,0,1} BCE | bio plain {0,1}
+
+
+def build_model(cfg: FinetuneConfig) -> GNNGraphPred:
+    return GNNGraphPred(
+        num_layer=cfg.num_layer,
+        emb_dim=cfg.emb_dim,
+        num_tasks=cfg.num_tasks,
+        jk=cfg.jk,
+        drop_ratio=cfg.dropout_ratio,
+        graph_pooling=cfg.graph_pooling,
+        gnn_type=cfg.gnn_type,
+    )
+
+
+def make_train_step(model, tx, loss_kind: str = "chem"):
+    loss_fn_map = {
+        "chem": losses.masked_task_bce,
+        "bio": losses.plain_bce,
+    }
+    loss_of = loss_fn_map[loss_kind]
+
+    @jax.jit
+    def step(state: TrainState, batch: PackedGraphs):
+        rng, drop_rng = jax.random.split(state.rng)
+
+        def loss_fn(params):
+            out, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch,
+                train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": drop_rng},
+            )
+            return loss_of(out, batch.y, batch.graph_mask), mutated
+
+        (loss, mutated), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=params,
+            batch_stats=mutated["batch_stats"],
+            opt_state=opt_state,
+            rng=rng,
+        )
+        return new_state, loss
+
+    return step
+
+
+def make_eval_step(model):
+    @jax.jit
+    def logits(state: TrainState, batch: PackedGraphs):
+        return model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch,
+            train=False,
+        )
+
+    return logits
+
+
+def evaluate(eval_step, state, loader: PackedLoader,
+             metric: str = "chem_auc") -> float:
+    """Run the model over a loader, collect valid-graph scores/labels, and
+    compute the protocol metric on host (chem/finetune.py:49-77)."""
+    ys, ss = [], []
+    for batch in loader:
+        out = np.asarray(eval_step(state, batch))
+        m = np.asarray(batch.graph_mask)
+        ys.append(np.asarray(batch.y)[m])
+        ss.append(out[m])
+    y = np.concatenate(ys)
+    s = np.concatenate(ss)
+    if metric == "chem_auc":
+        return metrics.chem_mean_auc(y, s)
+    if metric == "bio_auc":
+        return float(np.nanmean(metrics.bio_auc_array(y, s)))
+    if metric == "accuracy":
+        return metrics.accuracy_from_scores(y[:, 0], s[:, 0])
+    raise ValueError(metric)
+
+
+def init_state(
+    cfg: FinetuneConfig,
+    model,
+    sample_batch: PackedGraphs,
+    pretrained_trunk: Optional[Dict[str, Any]] = None,
+) -> Tuple[TrainState, Any]:
+    rng = jax.random.PRNGKey(cfg.runseed)
+    rng, init_rng = jax.random.split(rng)
+    variables = model.init(init_rng, sample_batch, train=False)
+    if pretrained_trunk is not None:
+        from pretrain_gnns_tpu.compat import import_params
+
+        variables = import_params.graphpred_variables_with_trunk(
+            variables, pretrained_trunk
+        )
+    tx = optim.finetune_adam(cfg.lr, cfg.lr_scale, cfg.decay)
+    return TrainState.create(variables, tx, rng), tx
+
+
+def run_finetune(
+    cfg: FinetuneConfig,
+    train_graphs: Sequence[Graph],
+    valid_graphs: Sequence[Graph],
+    test_graphs: Sequence[Graph],
+    pretrained_trunk: Optional[Dict[str, Any]] = None,
+    metric: Optional[str] = None,
+    log: Optional[Callable[[str], None]] = print,
+) -> Dict[str, Any]:
+    """Full fine-tune run; returns per-epoch AUC curves plus the
+    best-val-epoch test AUC (the protocol headline number)."""
+    metric = metric or ("chem_auc" if cfg.loss_kind == "chem" else "bio_auc")
+    model = build_model(cfg)
+
+    train_loader = PackedLoader(
+        train_graphs, cfg.batch_size, shuffle=True, seed=cfg.runseed
+    )
+    mn, me = train_loader.max_nodes, train_loader.max_edges
+    kw = dict(max_nodes=mn, max_edges=me, shuffle=False)
+    val_loader = PackedLoader(valid_graphs, cfg.batch_size, **kw)
+    test_loader = PackedLoader(test_graphs, cfg.batch_size, **kw)
+
+    sample = next(iter(val_loader))
+    state, tx = init_state(cfg, model, sample, pretrained_trunk)
+    train_step = make_train_step(model, tx, cfg.loss_kind)
+    eval_step = make_eval_step(model)
+
+    curves = {"train_loss": [], "val": [], "test": []}
+    for epoch in range(1, cfg.epochs + 1):
+        tot, nb = 0.0, 0
+        for batch in train_loader:
+            state, loss = train_step(state, batch)
+            tot += float(loss)
+            nb += 1
+        val_auc = evaluate(eval_step, state, val_loader, metric)
+        test_auc = evaluate(eval_step, state, test_loader, metric)
+        curves["train_loss"].append(tot / max(nb, 1))
+        curves["val"].append(val_auc)
+        curves["test"].append(test_auc)
+        if log:
+            log(
+                f"epoch {epoch}: loss {curves['train_loss'][-1]:.4f} "
+                f"val {val_auc:.4f} test {test_auc:.4f}"
+            )
+
+    best_epoch = int(np.argmax(curves["val"]))
+    return {
+        "curves": curves,
+        "best_epoch": best_epoch + 1,
+        "val_auc": curves["val"][best_epoch],
+        "test_auc": curves["test"][best_epoch],
+        "state": state,
+    }
