@@ -1,0 +1,195 @@
+"""Pretraining entry library — the reference's chem/pretrain_*.py scripts
+unified over one loop (SURVEY.md §2.6).
+
+Objectives: masking | edgepred | infomax | contextpred | supervised. Each
+reference script seeds torch/np to 0, builds dataset+transform, one Adam per
+submodule (== one Adam over the union), runs 100 epochs and saves the trunk
+only; this module reproduces that with optax + our PackedLoader pipelines.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from pretrain_gnns_tpu.core.graphs import Graph
+from pretrain_gnns_tpu.data import transforms
+from pretrain_gnns_tpu.data.context_loader import ContextPairLoader
+from pretrain_gnns_tpu.data.packing import PackedLoader, buffer_sizes
+from pretrain_gnns_tpu.objectives.contextpred import ContextPredObjective
+from pretrain_gnns_tpu.objectives.edgepred import EdgePredObjective
+from pretrain_gnns_tpu.objectives.infomax import InfomaxObjective
+from pretrain_gnns_tpu.objectives.masking import MaskingObjective
+from pretrain_gnns_tpu.train import optim
+from pretrain_gnns_tpu.train.state import TrainState
+
+
+@dataclasses.dataclass
+class PretrainConfig:
+    """Shared argparse surface of the pretrain scripts
+    (chem/pretrain_masking.py:85-122 etc.)."""
+
+    objective: str = "masking"
+    num_layer: int = 5
+    emb_dim: int = 300
+    jk: str = "last"
+    dropout_ratio: float = 0.0
+    gnn_type: str = "gin"
+    lr: float = 1e-3
+    decay: float = 0.0
+    batch_size: int = 256
+    epochs: int = 100
+    seed: int = 0
+    # masking
+    mask_rate: float = 0.15
+    mask_edge: bool = True
+    num_atom_type: int = 119
+    num_edge_type: int = 5
+    # contextpred
+    csize: int = 3
+    mode: str = "cbow"
+    neg_samples: int = 1
+    context_pooling: str = "mean"
+
+
+def build_objective(cfg: PretrainConfig):
+    common = dict(
+        num_layer=cfg.num_layer, emb_dim=cfg.emb_dim, jk=cfg.jk,
+        drop_ratio=cfg.dropout_ratio, gnn_type=cfg.gnn_type,
+    )
+    if cfg.objective == "masking":
+        return MaskingObjective(mask_edge=cfg.mask_edge, **common)
+    if cfg.objective == "edgepred":
+        return EdgePredObjective(**common)
+    if cfg.objective == "infomax":
+        return InfomaxObjective(**common)
+    if cfg.objective == "contextpred":
+        return ContextPredObjective(
+            csize=cfg.csize, mode=cfg.mode, neg_samples=cfg.neg_samples,
+            context_pooling=cfg.context_pooling, **common,
+        )
+    raise ValueError(cfg.objective)
+
+
+def build_loader(cfg: PretrainConfig, graphs: Sequence[Graph],
+                 drop_last: bool = True):
+    """Dataset pipeline per objective (transform placement mirrors the
+    reference's DataLoader workers, SURVEY.md §1)."""
+    mn, me = buffer_sizes(graphs, cfg.batch_size)
+    if cfg.objective == "masking":
+        t = transforms.MaskAtom(
+            cfg.num_atom_type, cfg.num_edge_type, cfg.mask_rate,
+            cfg.mask_edge,
+        )
+        n_masked = int(mn * cfg.mask_rate) + cfg.batch_size + 8
+        extra_pad = {
+            "masked_atom_indices": n_masked,
+            "mask_node_label": n_masked,
+            "connected_edge_indices": me // 2,
+            "mask_edge_label": me // 2,
+        }
+        return PackedLoader(graphs, cfg.batch_size, mn, me, seed=cfg.seed,
+                            transform=t, extra_pad=extra_pad,
+                            drop_last=drop_last)
+    if cfg.objective == "edgepred":
+        t = transforms.NegativeEdge()
+        return PackedLoader(graphs, cfg.batch_size, mn, me, seed=cfg.seed,
+                            transform=t,
+                            extra_pad={"negative_edges": me // 2},
+                            drop_last=drop_last)
+    if cfg.objective == "infomax":
+        return PackedLoader(graphs, cfg.batch_size, mn, me, seed=cfg.seed,
+                            drop_last=drop_last)
+    if cfg.objective == "contextpred":
+        l1 = cfg.num_layer - 1
+        l2 = l1 + cfg.csize
+        t = transforms.ExtractSubstructureContextPair(cfg.num_layer, l1, l2)
+        return ContextPairLoader(graphs, cfg.batch_size, t, mn, me,
+                                 seed=cfg.seed, drop_last=drop_last)
+    raise ValueError(cfg.objective)
+
+
+def make_pretrain_step(model, tx):
+    @jax.jit
+    def step(state: TrainState, *batch):
+        rng, drop_rng = jax.random.split(state.rng)
+
+        def loss_fn(params):
+            (loss, metrics), mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                *batch,
+                train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": drop_rng},
+            )
+            return loss, (metrics, mutated)
+
+        (loss, (metrics, mutated)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=params,
+            batch_stats=mutated["batch_stats"],
+            opt_state=opt_state,
+            rng=rng,
+        )
+        return new_state, loss, metrics
+
+    return step
+
+
+def run_pretrain(
+    cfg: PretrainConfig,
+    graphs: Sequence[Graph],
+    log: Optional[Callable[[str], None]] = print,
+    epochs: Optional[int] = None,
+) -> Dict[str, Any]:
+    model = build_objective(cfg)
+    loader = build_loader(cfg, graphs)
+    first = next(iter(loader))
+    batch0 = first if isinstance(first, tuple) else (first,)
+
+    rng = jax.random.PRNGKey(cfg.seed)
+    rng, init_rng = jax.random.split(rng)
+    variables = model.init(init_rng, *batch0, train=False)
+    if "batch_stats" not in variables:
+        variables = dict(variables, batch_stats={})
+    tx = optim.adam(cfg.lr, cfg.decay)
+    state = TrainState.create(variables, tx, rng)
+    step = make_pretrain_step(model, tx)
+
+    history = []
+    for epoch in range(1, (epochs or cfg.epochs) + 1):
+        tot, nb = 0.0, 0
+        agg: Dict[str, float] = {}
+        for item in loader:
+            batch = item if isinstance(item, tuple) else (item,)
+            state, loss, metrics = step(state, *batch)
+            tot += float(loss)
+            nb += 1
+            for k, v in metrics.items():
+                agg[k] = agg.get(k, 0.0) + float(v)
+        row = {"epoch": epoch, "loss": tot / max(nb, 1)}
+        row.update({k: v / max(nb, 1) for k, v in agg.items()})
+        history.append(row)
+        if log:
+            log(" ".join(f"{k}={v:.4f}" if isinstance(v, float) else
+                         f"{k}={v}" for k, v in row.items()))
+    return {"state": state, "history": history, "model": model}
+
+
+def trunk_variables(state: TrainState, trunk_name: str = "gnn") -> Dict:
+    """Extract the trunk for the reference checkpoint contract (trunk-only
+    save, chem/pretrain_masking.py:146-147)."""
+    return {
+        "params": state.params[trunk_name],
+        "batch_stats": (state.batch_stats or {}).get(trunk_name, {}),
+    }
