@@ -56,12 +56,14 @@ class ContextPairLoader:
             sub_packed = pack_graphs(
                 subs, self.max_nodes, self.max_edges, self.batch_size,
                 extra_pad={"center_substruct_idx": self.batch_size},
+                np_out=True,
             )
             ctx_packed = pack_graphs(
                 ctxs, self.max_nodes, self.max_edges, self.batch_size,
                 extra_pad={
                     "overlap_context_substruct_idx": self.max_nodes,
                 },
+                np_out=True,
             )
             return sub_packed, ctx_packed
 

@@ -103,6 +103,7 @@ class PackedLoader:
                 self.max_edges,
                 self.batch_size,
                 extra_pad=self.extra_pad,
+                np_out=True,  # host-side; jit transfers per step
             )
 
         batch: List[Graph] = []

@@ -45,6 +45,85 @@ def random_molecule(
     return x, edge_index, edge_attr
 
 
+def random_ego_network(
+    rng: np.random.Generator, n_nodes: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """Random ego-network in the bio schema (bio/loader.py:15-142):
+    x = ones(N, 1) float; 9-dim float edge features
+    [w1..w7 binary evidence, self_loop=0, mask=0]; node 0 is the center and
+    every node is reachable from it (ego ball)."""
+    center = 0
+    edges = set()
+    for v in range(1, n_nodes):
+        # attach to a random earlier node: connected, scale-free-ish
+        u = int(rng.integers(0, v))
+        edges.add((u, v))
+    extra = n_nodes // 2
+    for _ in range(extra):
+        a, b = (int(z) for z in rng.integers(0, n_nodes, 2))
+        if a != b and (a, b) not in edges and (b, a) not in edges:
+            edges.add((a, b))
+    ei, ea = [], []
+    for a, b in sorted(edges):
+        w = (rng.random(7) < 0.3).astype(np.float32)
+        feat = np.concatenate([w, [0.0, 0.0]]).astype(np.float32)
+        ei += [(a, b), (b, a)]
+        ea += [feat, feat]
+    x = np.ones((n_nodes, 1), np.float32)
+    return (
+        x,
+        np.array(ei, np.int64).T,
+        np.stack(ea),
+        center,
+    )
+
+
+def bio_dataset(
+    n_graphs: int,
+    num_downstream: int = 40,
+    num_pretrain: int = 60,
+    seed: int = 0,
+    mean_nodes: int = 60,
+    species_pool=(3702, 6239, 511145, 7227, 10090, 4932, 7955, 9606),
+) -> List[Graph]:
+    """Synthetic PPI ego-networks with center_node_idx, species_id,
+    go_target_downstream ({0,1}, the ``y``) and go_target_pretrain extras
+    (bio/loader.py:92-115). Downstream labels carry signal from evidence-
+    channel counts so bio fine-tuning is learnable."""
+    from pretrain_gnns_tpu.core.graphs import GRAPH, NODE_IDX
+
+    rng = np.random.default_rng(seed)
+    raw = []
+    for i in range(n_graphs):
+        n = max(8, int(rng.normal(mean_nodes, mean_nodes // 4)))
+        raw.append(random_ego_network(rng, min(n, 400)))
+
+    ev_counts = np.stack(
+        [
+            [ea[:, t % 7].sum() / max(ea.shape[0], 1)
+             for t in range(num_downstream)]
+            for (_, _, ea, _) in raw
+        ]
+    )
+    med = np.median(ev_counts, axis=0)
+    y_down = (ev_counts > med).astype(np.float32)
+
+    graphs = []
+    for i, (x, ei, ea, center) in enumerate(raw):
+        g = Graph(x, ei, ea, y=y_down[i])
+        g.extras["center_node_idx"] = (
+            np.array([center], np.int64), NODE_IDX
+        )
+        g.extras["species_id"] = (
+            np.array([species_pool[i % len(species_pool)]], np.int64), GRAPH
+        )
+        g.extras["go_target_pretrain"] = (
+            (rng.random(num_pretrain) < 0.1).astype(np.float32), GRAPH
+        )
+        graphs.append(g)
+    return graphs
+
+
 def molecule_dataset(
     n_graphs: int,
     num_tasks: int = 1,

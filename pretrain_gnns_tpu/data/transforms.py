@@ -153,6 +153,39 @@ class SubstructContextPair:
     context: Graph  # with extras["overlap_context_substruct_idx"]
 
 
+class MaskEdge:
+    """bio/util.py:46-104: sample int(E_undirected * rate + 1) undirected
+    edges (even indices = first direction of each pair); record original
+    9-dim features; overwrite BOTH directions with the mask feature
+    [0,...,0,1] (mask flag at dim 8)."""
+
+    def __init__(self, mask_rate: float = 0.15):
+        self.mask_rate = mask_rate
+
+    def __call__(self, g: Graph, rng: np.random.Generator,
+                 masked_edge_indices: Optional[np.ndarray] = None) -> Graph:
+        if masked_edge_indices is None:
+            num_undirected = g.num_edges // 2
+            k = int(num_undirected * self.mask_rate + 1)
+            picks = rng.choice(num_undirected, size=min(k, num_undirected),
+                               replace=False)
+            masked_edge_indices = 2 * picks
+        masked_edge_indices = np.asarray(masked_edge_indices, np.int64)
+
+        ea = g.edge_feat.copy()
+        labels = ea[masked_edge_indices].copy()
+        both = np.concatenate([masked_edge_indices,
+                               masked_edge_indices + 1])
+        mask_feat = np.zeros(ea.shape[1], ea.dtype)
+        mask_feat[-1] = 1
+        ea[both] = mask_feat
+
+        extras = dict(g.extras)
+        extras["masked_edge_idx"] = (masked_edge_indices, EDGE_IDX)
+        extras["mask_edge_label"] = (labels, RAW)
+        return dataclasses.replace(g, edge_feat=ea, extras=extras)
+
+
 class ExtractSubstructureContextPair:
     """chem/util.py:55-172: substruct = k-hop ball around a random root;
     context = annulus between l1 and l2 hops; overlap = substruct ∩ context
@@ -191,5 +224,46 @@ class ExtractSubstructureContextPair:
         context, ctx_map = induced_subgraph(g, ctx_nodes)
         context.extras["overlap_context_substruct_idx"] = (
             ctx_map[overlap].astype(np.int64), NODE_IDX,
+        )
+        return SubstructContextPair(substruct, context)
+
+
+class BioExtractSubstructureContextPair:
+    """bio/util.py:123-209: substruct = the WHOLE ego-network (center node =
+    the graph's ``center_node_idx`` extra, or random when center=False);
+    context = nodes strictly outside the l1-ball around the root; overlap =
+    the whole context set (substruct is everything)."""
+
+    def __init__(self, l1: int, center: bool = True):
+        self.l1 = -1 if l1 == 0 else l1
+        self.center = center
+
+    def __call__(self, g: Graph, rng: np.random.Generator,
+                 root_idx: Optional[int] = None
+                 ) -> Optional[SubstructContextPair]:
+        n = g.num_nodes
+        if root_idx is None:
+            if self.center:
+                root_idx = int(np.asarray(g.extras["center_node_idx"][0])[0])
+            else:
+                root_idx = int(rng.integers(0, n))
+
+        substruct = Graph(
+            node_feat=g.node_feat.copy(),
+            edge_index=g.edge_index.copy(),
+            edge_feat=g.edge_feat.copy(),
+        )
+        substruct.extras["center_substruct_idx"] = (
+            np.asarray(g.extras["center_node_idx"][0], np.int64).reshape(1),
+            NODE_IDX,
+        )
+
+        l1_nodes = k_hop_nodes(g.edge_index, n, root_idx, self.l1)
+        ctx_nodes = np.setdiff1d(np.arange(n), l1_nodes)
+        if ctx_nodes.size == 0:
+            return None
+        context, ctx_map = induced_subgraph(g, ctx_nodes)
+        context.extras["overlap_context_substruct_idx"] = (
+            ctx_map[ctx_nodes].astype(np.int64), NODE_IDX,
         )
         return SubstructContextPair(substruct, context)

@@ -74,3 +74,40 @@ class MaskingObjective(nn.Module):
                 pred_edge, edge_labels, emask
             )
         return loss, metrics
+
+
+class BioMaskEdgeObjective(nn.Module):
+    """bio attribute masking (bio/pretrain_masking.py:29-66): predict the
+    dominant STRING evidence channel (argmax of the 7-dim multi-hot label,
+    :52-54) of each masked edge from ``h[src] + h[dst]`` via Linear(D, 7)."""
+
+    num_layer: int = 5
+    emb_dim: int = 300
+    jk: str = "last"
+    drop_ratio: float = 0.0
+    gnn_type: str = "gin"
+    num_edge_classes: int = 7
+
+    @nn.compact
+    def __call__(
+        self, g: PackedGraphs, train: bool = False
+    ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        from pretrain_gnns_tpu.models import bio as bio_models
+
+        h = bio_models.GNN(self.num_layer, self.emb_dim, self.jk,
+                           self.drop_ratio, self.gnn_type, name="gnn")(
+            g, train=train
+        )
+        eidx = g.extras["masked_edge_idx"]
+        emask = g.extras["masked_edge_idx_mask"]
+        labels = jnp.argmax(
+            g.extras["mask_edge_label"][:, : self.num_edge_classes], axis=1
+        )
+        src = jnp.take(g.receivers, eidx)
+        dst = jnp.take(g.senders, eidx)
+        edge_rep = jnp.take(h, src, axis=0) + jnp.take(h, dst, axis=0)
+        pred = inits.dense(
+            self.num_edge_classes, self.emb_dim, "linear_pred_edges"
+        )(edge_rep)
+        loss = losses.masked_softmax_xent(pred, labels, emask)
+        return loss, {"acc_edge": _masked_accuracy(pred, labels, emask)}

@@ -33,8 +33,10 @@ NUM_TASKS = {
 
 @dataclasses.dataclass
 class FinetuneConfig:
-    """Mirrors the argparse surface of chem/finetune.py:83-115."""
+    """Mirrors the argparse surface of chem/finetune.py:83-115 and
+    bio/finetune.py:70-106 (``domain`` selects the model family)."""
 
+    domain: str = "chem"  # chem | bio
     num_tasks: int = 1
     num_layer: int = 5
     emb_dim: int = 300
@@ -49,10 +51,26 @@ class FinetuneConfig:
     epochs: int = 100
     seed: int = 0  # split seed
     runseed: int = 0  # init / shuffle seed
-    loss_kind: str = "chem"  # chem masked {-1,0,1} BCE | bio plain {0,1}
+    loss_kind: Optional[str] = None  # default: chem masked BCE | bio plain
+
+    def __post_init__(self):
+        if self.loss_kind is None:
+            self.loss_kind = "bio" if self.domain == "bio" else "chem"
 
 
-def build_model(cfg: FinetuneConfig) -> GNNGraphPred:
+def build_model(cfg: FinetuneConfig):
+    if cfg.domain == "bio":
+        from pretrain_gnns_tpu.models import bio as bio_models
+
+        return bio_models.GNNGraphPred(
+            num_layer=cfg.num_layer,
+            emb_dim=cfg.emb_dim,
+            num_tasks=cfg.num_tasks,
+            jk=cfg.jk,
+            drop_ratio=cfg.dropout_ratio,
+            graph_pooling=cfg.graph_pooling,
+            gnn_type=cfg.gnn_type,
+        )
     return GNNGraphPred(
         num_layer=cfg.num_layer,
         emb_dim=cfg.emb_dim,
@@ -168,11 +186,16 @@ def run_finetune(
     metric = metric or ("chem_auc" if cfg.loss_kind == "chem" else "bio_auc")
     model = build_model(cfg)
 
+    extra_pad = (
+        {"center_node_idx": cfg.batch_size} if cfg.domain == "bio" else None
+    )
     train_loader = PackedLoader(
-        train_graphs, cfg.batch_size, shuffle=True, seed=cfg.runseed
+        train_graphs, cfg.batch_size, shuffle=True, seed=cfg.runseed,
+        extra_pad=extra_pad,
     )
     mn, me = train_loader.max_nodes, train_loader.max_edges
-    kw = dict(max_nodes=mn, max_edges=me, shuffle=False)
+    kw = dict(max_nodes=mn, max_edges=me, shuffle=False,
+              extra_pad=extra_pad)
     val_loader = PackedLoader(valid_graphs, cfg.batch_size, **kw)
     test_loader = PackedLoader(test_graphs, cfg.batch_size, **kw)
 

@@ -35,6 +35,7 @@ class PretrainConfig:
     (chem/pretrain_masking.py:85-122 etc.)."""
 
     objective: str = "masking"
+    domain: str = "chem"  # chem | bio
     num_layer: int = 5
     emb_dim: int = 300
     jk: str = "last"
@@ -55,6 +56,9 @@ class PretrainConfig:
     mode: str = "cbow"
     neg_samples: int = 1
     context_pooling: str = "mean"
+    # bio contextpred (bio/pretrain_contextpred.py: --l1 default 1, --center)
+    l1: int = 1
+    center: bool = True
 
 
 def build_objective(cfg: PretrainConfig):
@@ -62,16 +66,31 @@ def build_objective(cfg: PretrainConfig):
         num_layer=cfg.num_layer, emb_dim=cfg.emb_dim, jk=cfg.jk,
         drop_ratio=cfg.dropout_ratio, gnn_type=cfg.gnn_type,
     )
+    bio = cfg.domain == "bio"
+    trunk_kw = {}
+    if bio:
+        from pretrain_gnns_tpu.models import bio as bio_models
+
+        trunk_kw = {"trunk": bio_models.GNN}
     if cfg.objective == "masking":
+        if bio:
+            from pretrain_gnns_tpu.objectives.masking import (
+                BioMaskEdgeObjective,
+            )
+
+            return BioMaskEdgeObjective(**common)
         return MaskingObjective(mask_edge=cfg.mask_edge, **common)
     if cfg.objective == "edgepred":
-        return EdgePredObjective(**common)
+        return EdgePredObjective(**common, **trunk_kw)
     if cfg.objective == "infomax":
-        return InfomaxObjective(**common)
+        return InfomaxObjective(**common, **trunk_kw)
     if cfg.objective == "contextpred":
+        # bio context encoder is fixed at 3 layers
+        # (bio/pretrain_contextpred.py:156)
         return ContextPredObjective(
-            csize=cfg.csize, mode=cfg.mode, neg_samples=cfg.neg_samples,
-            context_pooling=cfg.context_pooling, **common,
+            csize=3 if bio else cfg.csize, mode=cfg.mode,
+            neg_samples=cfg.neg_samples,
+            context_pooling=cfg.context_pooling, **common, **trunk_kw,
         )
     raise ValueError(cfg.objective)
 
