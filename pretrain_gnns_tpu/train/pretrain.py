@@ -100,6 +100,19 @@ def build_loader(cfg: PretrainConfig, graphs: Sequence[Graph],
     """Dataset pipeline per objective (transform placement mirrors the
     reference's DataLoader workers, SURVEY.md §1)."""
     mn, me = buffer_sizes(graphs, cfg.batch_size)
+    # bio graphs carry a per-graph center_node_idx extra that must be padded
+    base_pad = (
+        {"center_node_idx": cfg.batch_size} if cfg.domain == "bio" else {}
+    )
+    if cfg.objective == "masking" and cfg.domain == "bio":
+        t = transforms.MaskEdge(cfg.mask_rate)
+        n_masked = int(me // 2 * cfg.mask_rate) + cfg.batch_size + 8
+        return PackedLoader(
+            graphs, cfg.batch_size, mn, me, seed=cfg.seed, transform=t,
+            extra_pad={"masked_edge_idx": n_masked,
+                       "mask_edge_label": n_masked, **base_pad},
+            drop_last=drop_last,
+        )
     if cfg.objective == "masking":
         t = transforms.MaskAtom(
             cfg.num_atom_type, cfg.num_edge_type, cfg.mask_rate,
@@ -119,15 +132,24 @@ def build_loader(cfg: PretrainConfig, graphs: Sequence[Graph],
         t = transforms.NegativeEdge()
         return PackedLoader(graphs, cfg.batch_size, mn, me, seed=cfg.seed,
                             transform=t,
-                            extra_pad={"negative_edges": me // 2},
+                            extra_pad={"negative_edges": me // 2,
+                                       **base_pad},
                             drop_last=drop_last)
     if cfg.objective == "infomax":
         return PackedLoader(graphs, cfg.batch_size, mn, me, seed=cfg.seed,
+                            extra_pad=base_pad or None,
                             drop_last=drop_last)
     if cfg.objective == "contextpred":
-        l1 = cfg.num_layer - 1
-        l2 = l1 + cfg.csize
-        t = transforms.ExtractSubstructureContextPair(cfg.num_layer, l1, l2)
+        if cfg.domain == "bio":
+            t = transforms.BioExtractSubstructureContextPair(
+                cfg.l1, cfg.center
+            )
+        else:
+            l1 = cfg.num_layer - 1
+            l2 = l1 + cfg.csize
+            t = transforms.ExtractSubstructureContextPair(
+                cfg.num_layer, l1, l2
+            )
         return ContextPairLoader(graphs, cfg.batch_size, t, mn, me,
                                  seed=cfg.seed, drop_last=drop_last)
     raise ValueError(cfg.objective)
