@@ -95,6 +95,14 @@ class PackedGraphs:
     graph_mask: jnp.ndarray  # [G_pad] bool
     y: Optional[jnp.ndarray] = None  # [G_pad, T]
     extras: Dict[str, jnp.ndarray] = struct.field(default_factory=dict)
+    # Block-diagonal layout metadata (static, set by pack_graphs_blocked):
+    # when block_nodes > 0, node rows are partitioned into blocks of
+    # ``block_nodes`` and edge slots into blocks of ``block_edges`` such
+    # that every edge in edge-block b has BOTH endpoints in node-block b
+    # (graphs never straddle blocks). This is the layout the Pallas
+    # one-hot-matmul SpMM kernel requires (ops/pallas_spmm.py).
+    block_nodes: int = struct.field(pytree_node=False, default=0)
+    block_edges: int = struct.field(pytree_node=False, default=0)
 
     # -- static shape helpers (python ints, safe under jit) -----------------
     @property
@@ -261,6 +269,137 @@ def pack_graphs(
         graph_mask=graph_mask,
         y=y,
         extras=extras,
+    )
+    if np_out:
+        return out
+    return jax.tree_util.tree_map(jnp.asarray, out)
+
+
+def pack_graphs_blocked(
+    graphs: Sequence[Graph],
+    n_blocks: int,
+    block_nodes: int = 256,
+    block_edges: int = 768,
+    max_graphs: Optional[int] = None,
+    extra_pad: Optional[Mapping[str, int]] = None,
+    np_out: bool = False,
+) -> PackedGraphs:
+    """Pack graphs into a block-diagonal layout (see PackedGraphs fields).
+
+    Graphs are first-fit into ``n_blocks`` blocks of (block_nodes,
+    block_edges) capacity; within a block, node rows and edge slots are
+    contiguous and padded to the block boundary, so every edge slot in
+    block b references node rows in [b*block_nodes, (b+1)*block_nodes).
+    Semantically identical to :func:`pack_graphs` (same masks/ids), just a
+    different row ordering with per-block padding.
+    """
+    if max_graphs is None:
+        max_graphs = len(graphs)
+    # first-fit into blocks
+    blocks: List[List[Graph]] = [[] for _ in range(n_blocks)]
+    fill_n = np.zeros(n_blocks, int)
+    fill_e = np.zeros(n_blocks, int)
+    for g in graphs:
+        if g.num_nodes > block_nodes or g.num_edges > block_edges:
+            raise ValueError(
+                f"graph ({g.num_nodes}n/{g.num_edges}e) exceeds block "
+                f"capacity ({block_nodes}/{block_edges})"
+            )
+        for b in range(n_blocks):
+            if (
+                fill_n[b] + g.num_nodes <= block_nodes
+                and fill_e[b] + g.num_edges <= block_edges
+            ):
+                blocks[b].append(g)
+                fill_n[b] += g.num_nodes
+                fill_e[b] += g.num_edges
+                break
+        else:
+            raise ValueError("graphs do not fit the requested blocks")
+
+    max_nodes = n_blocks * block_nodes
+    max_edges = n_blocks * block_edges
+    fn = graphs[0].node_feat.shape[1:]
+    fe = graphs[0].edge_feat.shape[1:]
+    node_feat = np.zeros((max_nodes,) + fn, graphs[0].node_feat.dtype)
+    edge_feat = np.zeros((max_edges,) + fe, graphs[0].edge_feat.dtype)
+    senders = np.zeros(max_edges, np.int32)
+    receivers = np.zeros(max_edges, np.int32)
+    node_graph = np.zeros(max_nodes, np.int32)
+    node_mask = np.zeros(max_nodes, bool)
+    edge_mask = np.zeros(max_edges, bool)
+    graph_mask = np.zeros(max_graphs, bool)
+    ys = None
+
+    extras_parts: Dict[str, list] = {}
+    kinds: Dict[str, str] = {}
+    gid = 0
+    for b in range(n_blocks):
+        n_off = b * block_nodes
+        e_off = b * block_edges
+        for g in blocks[b]:
+            nn, ne = g.num_nodes, g.num_edges
+            node_feat[n_off: n_off + nn] = g.node_feat
+            edge_feat[e_off: e_off + ne] = g.edge_feat
+            receivers[e_off: e_off + ne] = g.edge_index[0] + n_off
+            senders[e_off: e_off + ne] = g.edge_index[1] + n_off
+            node_graph[n_off: n_off + nn] = gid
+            node_mask[n_off: n_off + nn] = True
+            edge_mask[e_off: e_off + ne] = True
+            graph_mask[gid] = True
+            if g.y is not None:
+                if ys is None:
+                    ys = np.zeros(
+                        (max_graphs,) + np.asarray(g.y).shape,
+                        np.asarray(g.y).dtype,
+                    )
+                ys[gid] = g.y
+            for k, (arr, kind) in g.extras.items():
+                arr = np.asarray(arr)
+                if kind == NODE_IDX:
+                    arr = arr.astype(np.int32) + n_off
+                elif kind == EDGE_IDX:
+                    arr = arr.astype(np.int32) + e_off
+                extras_parts.setdefault(k, []).append(arr)
+                kinds[k] = kind
+            n_off += nn
+            e_off += ne
+            gid += 1
+        # pad rows inside the block keep mask False / index 0 defaults
+        node_graph[n_off: (b + 1) * block_nodes] = 0
+
+    extras: Dict[str, np.ndarray] = {}
+    for k, parts in extras_parts.items():
+        kind = kinds[k]
+        cat = (
+            np.stack(parts, axis=0) if kind == GRAPH
+            else np.concatenate(parts, axis=0)
+        )
+        if kind == NODE_ROW or kind == EDGE_ROW:
+            raise NotImplementedError(
+                "row-kind extras unsupported in blocked packing"
+            )
+        pad_n = max_graphs if kind == GRAPH else (extra_pad or {}).get(k)
+        if pad_n is None:
+            raise ValueError(f"extra {k!r} needs an extra_pad entry")
+        mask = np.zeros(pad_n, bool)
+        mask[: cat.shape[0]] = True
+        extras[k] = _pad_rows(cat, pad_n)
+        extras[k + "_mask"] = mask
+
+    out = PackedGraphs(
+        node_feat=node_feat,
+        edge_feat=edge_feat,
+        senders=senders,
+        receivers=receivers,
+        node_graph=node_graph,
+        node_mask=node_mask,
+        edge_mask=edge_mask,
+        graph_mask=graph_mask,
+        y=ys,
+        extras=extras,
+        block_nodes=block_nodes,
+        block_edges=block_edges,
     )
     if np_out:
         return out

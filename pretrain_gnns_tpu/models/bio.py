@@ -64,6 +64,7 @@ class GINConv(nn.Module):
         aggr = spmm.gather_scatter(
             h, e, g.senders, g.receivers, g.edge_mask, g.max_nodes,
             combine="concat",
+            block_nodes=g.block_nodes, block_edges=g.block_edges,
         )
         self_msg = jnp.concatenate(
             [h, jnp.broadcast_to(e_self, h.shape)], axis=-1
@@ -106,6 +107,7 @@ class GCNConv(nn.Module):
         aggr = spmm.gather_scatter(
             x, e, g.senders, g.receivers, g.edge_mask, g.max_nodes,
             edge_weight=norm,
+            block_nodes=g.block_nodes, block_edges=g.block_edges,
         )
         self_w = (dis * dis)[:, None] * g.node_mask[:, None]
         return aggr + self_w * (x + e_self)
@@ -167,7 +169,8 @@ class SAGEConv(nn.Module):
             h = h * g.node_mask[:, None]
         x = inits.dense(self.emb_dim, self.emb_dim, "linear")(h)
         s = spmm.gather_scatter(
-            x, e, g.senders, g.receivers, g.edge_mask, g.max_nodes
+            x, e, g.senders, g.receivers, g.edge_mask, g.max_nodes,
+            block_nodes=g.block_nodes, block_edges=g.block_edges,
         )
         s = s + (x + e_self) * g.node_mask[:, None]
         deg = g.in_degree(include_self_loop=True).astype(jnp.float32)

@@ -64,7 +64,8 @@ class GINConv(nn.Module):
     def __call__(self, h: jnp.ndarray, g: PackedGraphs) -> jnp.ndarray:
         e, e_self = _edge_embed(self, g.edge_feat, self.emb_dim)
         aggr = spmm.gather_scatter(
-            h, e, g.senders, g.receivers, g.edge_mask, g.max_nodes
+            h, e, g.senders, g.receivers, g.edge_mask, g.max_nodes,
+            block_nodes=g.block_nodes, block_edges=g.block_edges,
         )
         aggr = aggr + (h + e_self) * g.node_mask[:, None]
         # mlp.{0,2} naming mirrors the torch Sequential (chem/model.py:29)
@@ -89,6 +90,7 @@ class GCNConv(nn.Module):
         aggr = spmm.gather_scatter(
             x, e, g.senders, g.receivers, g.edge_mask, g.max_nodes,
             edge_weight=norm,
+            block_nodes=g.block_nodes, block_edges=g.block_edges,
         )
         self_w = (dis * dis)[:, None] * g.node_mask[:, None]
         return aggr + self_w * (x + e_self)
@@ -145,7 +147,8 @@ class SAGEConv(nn.Module):
         e, e_self = _edge_embed(self, g.edge_feat, self.emb_dim)
         x = inits.dense(self.emb_dim, self.emb_dim, "linear")(h)
         s = spmm.gather_scatter(
-            x, e, g.senders, g.receivers, g.edge_mask, g.max_nodes
+            x, e, g.senders, g.receivers, g.edge_mask, g.max_nodes,
+            block_nodes=g.block_nodes, block_edges=g.block_edges,
         )
         s = s + (x + e_self) * g.node_mask[:, None]
         deg = g.in_degree(include_self_loop=True).astype(h.dtype)

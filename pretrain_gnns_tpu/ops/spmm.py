@@ -11,13 +11,16 @@ with ``message`` either ``x_j + e`` (chem convs, chem/model.py:51-52) or
 per-edge weight (GCN norm, chem/model.py:103-104), and ``aggr`` in
 {sum, mean}.
 
-Two implementations:
-- ``_xla``: pure jnp take + segment_sum. XLA lowers this to dynamic-gather +
-  scatter-add; correct everywhere (CPU tests, TPU), baseline performance.
-- Pallas TPU kernel (``pretrain_gnns_tpu.ops.pallas_spmm``): rows of ``x``
-  are gathered from VMEM and accumulated tile-by-tile; used when running on
-  TPU and shapes qualify. Selected via ``set_backend`` / env var
-  ``PGT_SPMM_BACKEND`` in {auto, xla, pallas}.
+Implementations:
+- ``_xla``: jnp take + segment_sum. XLA lowers to dynamic-gather +
+  scatter-add; correct for any packing, baseline performance.
+- Pallas block-diagonal one-hot-matmul kernel
+  (``pretrain_gnns_tpu.ops.pallas_spmm``): used when the batch was packed
+  with ``pack_graphs_blocked`` (block_nodes/block_edges > 0) and the
+  backend allows it. Select via ``set_backend`` / env
+  ``PGT_SPMM_BACKEND`` in {auto, xla, pallas}: ``auto`` uses Pallas on TPU
+  for blocked batches; ``pallas`` forces it everywhere (interpret mode off
+  TPU — for tests); ``xla`` disables it.
 """
 
 from __future__ import annotations
@@ -40,19 +43,20 @@ def set_backend(name: str) -> None:
     _BACKEND = name
 
 
-def _use_pallas() -> bool:
-    if _BACKEND == "xla":
-        return False
+def get_backend() -> str:
+    return _BACKEND
+
+
+def _on_tpu() -> bool:
     try:
-        on_tpu = jax.default_backend() not in ("cpu",)
+        return jax.default_backend() not in ("cpu",)
     except Exception:  # pragma: no cover
-        on_tpu = False
-    return _BACKEND == "pallas" or (_BACKEND == "auto" and on_tpu)
+        return False
 
 
 def gather_scatter(
     x: jnp.ndarray,  # [N, F] node features
-    edge_emb: jnp.ndarray,  # [E, F] per-edge embedding
+    edge_emb: Optional[jnp.ndarray],  # [E, F] per-edge embedding (or None)
     senders: jnp.ndarray,  # [E] int32
     receivers: jnp.ndarray,  # [E] int32
     edge_mask: jnp.ndarray,  # [E] bool
@@ -60,17 +64,40 @@ def gather_scatter(
     combine: str = "add",  # "add" | "concat"
     aggr: str = "sum",  # "sum" | "mean"
     edge_weight: Optional[jnp.ndarray] = None,  # [E]
+    block_nodes: int = 0,
+    block_edges: int = 0,
 ) -> jnp.ndarray:
     """See module docstring. Returns [N, F] (or [N, 2F] for concat)."""
-    if _use_pallas() and combine == "add" and aggr == "sum":
+    blocked = block_nodes > 0 and block_edges > 0
+    use_pallas = _BACKEND == "pallas" or (
+        _BACKEND == "auto" and _on_tpu()
+    )
+    if blocked and use_pallas and aggr == "sum":
         from pretrain_gnns_tpu.ops import pallas_spmm
 
-        out = pallas_spmm.gather_scatter_add(
-            x, edge_emb, senders, receivers, edge_mask, num_nodes,
-            edge_weight=edge_weight,
-        )
-        if out is not None:
-            return out
+        interpret = not _on_tpu()
+        if combine == "add":
+            return pallas_spmm.gather_scatter_add(
+                x, edge_emb, senders, receivers, edge_mask, num_nodes,
+                edge_weight=edge_weight, block_nodes=block_nodes,
+                block_edges=block_edges, interpret=interpret,
+            )
+        if combine == "concat":
+            # concat(x_j, e) summed per receiver splits into two halves:
+            # scatter of x_j (spmm without ee) ++ scatter of e alone
+            # (spmm with x=0 — the gather contributes nothing).
+            left = pallas_spmm.gather_scatter_add(
+                x, None, senders, receivers, edge_mask, num_nodes,
+                edge_weight=edge_weight, block_nodes=block_nodes,
+                block_edges=block_edges, interpret=interpret,
+            )
+            right = pallas_spmm.gather_scatter_add(
+                jnp.zeros_like(x[:, :edge_emb.shape[1]]), edge_emb,
+                senders, receivers, edge_mask, num_nodes,
+                edge_weight=edge_weight, block_nodes=block_nodes,
+                block_edges=block_edges, interpret=interpret,
+            )
+            return jnp.concatenate([left, right], axis=-1)
     return _xla(
         x, edge_emb, senders, receivers, edge_mask, num_nodes,
         combine, aggr, edge_weight,
@@ -81,7 +108,7 @@ def _xla(x, edge_emb, senders, receivers, edge_mask, num_nodes,
          combine, aggr, edge_weight):
     x_j = jnp.take(x, senders, axis=0)
     if combine == "add":
-        msg = x_j + edge_emb
+        msg = x_j if edge_emb is None else x_j + edge_emb
     elif combine == "concat":
         msg = jnp.concatenate([x_j, edge_emb], axis=-1)
     else:
