@@ -1,0 +1,78 @@
+"""Featurizer tests — RDKit-free parts (label coding, spec table); the
+RDKit-dependent converters are gated and exercised only when RDKit exists."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pretrain_gnns_tpu.data import featurize
+
+
+def _has_rdkit():
+    try:
+        import rdkit  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def test_binary_label_coding_tox21_style():
+    df = pd.DataFrame({
+        "smiles": ["C", "CC", "CCC"],
+        "A": [1.0, 0.0, np.nan],
+        "B": [0.0, np.nan, 1.0],
+    })
+    spec = featurize.CsvSpec("x.csv", "smiles", ["A", "B"], "binary")
+    y = featurize.encode_labels(df, spec)
+    np.testing.assert_array_equal(y, [[1, -1], [-1, 0], [0, 1]])
+
+
+def test_binary_label_no_fillna_keeps_nan():
+    df = pd.DataFrame({"smiles": ["C"], "A": [np.nan]})
+    spec = featurize.CsvSpec("x.csv", "smiles", ["A"], "binary",
+                             fillna=False)
+    y = featurize.encode_labels(df, spec)
+    assert np.isnan(y[0, 0])
+
+
+def test_all_tasks_mode_uses_non_smiles_columns():
+    df = pd.DataFrame({"smiles": ["C"], "t1": [1.0], "t2": [0.0]})
+    spec = featurize.CsvSpec("x.csv", "smiles", None, "binary")
+    y = featurize.encode_labels(df, spec)
+    np.testing.assert_array_equal(y, [[1, -1]])
+
+
+def test_regression_coding():
+    df = pd.DataFrame({"smiles": ["C"], "expt": [-3.2]})
+    spec = featurize.CsvSpec("x.csv", "smiles", ["expt"], "regression")
+    y = featurize.encode_labels(df, spec)
+    np.testing.assert_allclose(y, [[-3.2]], rtol=1e-6)
+
+
+def test_spec_table_covers_reference_datasets():
+    # every CSV dataset the reference's MoleculeDataset.process handles
+    for name in ["tox21", "hiv", "bace", "bbbp", "clintox", "muv",
+                 "sider", "toxcast", "esol", "freesolv", "lipophilicity"]:
+        assert name in featurize.CSV_SPECS
+    assert len(featurize.CSV_SPECS["tox21"].tasks) == 12
+    assert len(featurize.CSV_SPECS["muv"].tasks) == 17
+
+
+def test_rdkit_paths_are_gated():
+    if _has_rdkit():
+        pytest.skip("rdkit present; gate not exercised")
+    with pytest.raises(ImportError, match="RDKit is required"):
+        featurize.mol_to_graph(None)
+
+
+@pytest.mark.skipif(not _has_rdkit(), reason="rdkit unavailable")
+def test_mol_graph_roundtrip():
+    from rdkit import Chem
+
+    mol = Chem.MolFromSmiles("CC(=O)Oc1ccccc1C(=O)O")  # aspirin
+    g = featurize.mol_to_graph(mol)
+    assert g.num_nodes == mol.GetNumAtoms()
+    assert g.num_edges == 2 * mol.GetNumBonds()
+    mol2 = featurize.graph_to_mol(g)
+    assert Chem.MolToSmiles(mol2) == Chem.MolToSmiles(mol)
