@@ -1,0 +1,145 @@
+// Native batch packer — the host-side collation hot loop.
+//
+// The reference runs graph collation inside torch DataLoader workers whose
+// copy loops bottom out in torch's C++ (SURVEY.md §1). This is the
+// equivalent native component for our static-shape packing: given a
+// dataset stored as flat concatenated arrays with offsets (the npz shard
+// layout of data/datasets.py), pack a batch of graph indices into padded
+// buffers with cumulative index offsetting — one tight memcpy/loop pass,
+// dtype-agnostic (features are copied as raw bytes).
+//
+// Exposed as C symbols for ctypes (no pybind11 in this image).
+//
+// Build: g++ -O3 -march=native -shared -fPIC packer.cpp -o libpacker.so
+
+#include <cstdint>
+#include <cstring>
+
+extern "C" {
+
+// Returns 0 on success, -1 on buffer overflow.
+//
+// Dataset-level inputs (flat, graph i occupies [node_off[i], node_off[i+1])):
+//   node_feat_bytes : sumN * fn_bytes
+//   edge_recv/edge_send : per-edge endpoint indices (graph-local, int32)
+//   edge_feat_bytes : sumE * fe_bytes
+// Batch selection: graph_ids[n_graphs]
+// Outputs are caller-allocated and ZEROED by this function.
+int pack_batch(
+    const uint8_t* node_feat_bytes, const int64_t* node_off,
+    const int32_t* edge_recv, const int32_t* edge_send,
+    const uint8_t* edge_feat_bytes, const int64_t* edge_off,
+    const int64_t* graph_ids, int64_t n_graphs,
+    int64_t fn_bytes, int64_t fe_bytes,
+    int64_t max_nodes, int64_t max_edges, int64_t max_graphs,
+    uint8_t* out_node_feat, uint8_t* out_edge_feat,
+    int32_t* out_send, int32_t* out_recv,
+    int32_t* out_node_graph, uint8_t* out_node_mask,
+    uint8_t* out_edge_mask, uint8_t* out_graph_mask) {
+  if (n_graphs > max_graphs) return -1;
+
+  std::memset(out_node_feat, 0, (size_t)(max_nodes * fn_bytes));
+  std::memset(out_edge_feat, 0, (size_t)(max_edges * fe_bytes));
+  std::memset(out_send, 0, (size_t)max_edges * sizeof(int32_t));
+  std::memset(out_recv, 0, (size_t)max_edges * sizeof(int32_t));
+  std::memset(out_node_graph, 0, (size_t)max_nodes * sizeof(int32_t));
+  std::memset(out_node_mask, 0, (size_t)max_nodes);
+  std::memset(out_edge_mask, 0, (size_t)max_edges);
+  std::memset(out_graph_mask, 0, (size_t)max_graphs);
+
+  int64_t n_cursor = 0, e_cursor = 0;
+  for (int64_t g = 0; g < n_graphs; ++g) {
+    const int64_t gi = graph_ids[g];
+    const int64_t n0 = node_off[gi], n1 = node_off[gi + 1];
+    const int64_t e0 = edge_off[gi], e1 = edge_off[gi + 1];
+    const int64_t nn = n1 - n0, ne = e1 - e0;
+    if (n_cursor + nn > max_nodes || e_cursor + ne > max_edges) return -1;
+
+    std::memcpy(out_node_feat + n_cursor * fn_bytes,
+                node_feat_bytes + n0 * fn_bytes, (size_t)(nn * fn_bytes));
+    std::memcpy(out_edge_feat + e_cursor * fe_bytes,
+                edge_feat_bytes + e0 * fe_bytes, (size_t)(ne * fe_bytes));
+
+    const int32_t off = (int32_t)n_cursor;
+    for (int64_t e = 0; e < ne; ++e) {
+      out_recv[e_cursor + e] = edge_recv[e0 + e] + off;
+      out_send[e_cursor + e] = edge_send[e0 + e] + off;
+    }
+    for (int64_t n = 0; n < nn; ++n) {
+      out_node_graph[n_cursor + n] = (int32_t)g;
+      out_node_mask[n_cursor + n] = 1;
+    }
+    std::memset(out_edge_mask + e_cursor, 1, (size_t)ne);
+    out_graph_mask[g] = 1;
+
+    n_cursor += nn;
+    e_cursor += ne;
+  }
+  return 0;
+}
+
+// Block-diagonal variant: graph g is placed in node/edge block block_of[g]
+// (first-fit computed by the python wrapper); rows are filled contiguously
+// inside each block.
+int pack_batch_blocked(
+    const uint8_t* node_feat_bytes, const int64_t* node_off,
+    const int32_t* edge_recv, const int32_t* edge_send,
+    const uint8_t* edge_feat_bytes, const int64_t* edge_off,
+    const int64_t* graph_ids, const int64_t* block_of, int64_t n_graphs,
+    int64_t fn_bytes, int64_t fe_bytes,
+    int64_t n_blocks, int64_t block_nodes, int64_t block_edges,
+    int64_t max_graphs,
+    uint8_t* out_node_feat, uint8_t* out_edge_feat,
+    int32_t* out_send, int32_t* out_recv,
+    int32_t* out_node_graph, uint8_t* out_node_mask,
+    uint8_t* out_edge_mask, uint8_t* out_graph_mask,
+    int64_t* block_fill_n, int64_t* block_fill_e) {
+  const int64_t max_nodes = n_blocks * block_nodes;
+  const int64_t max_edges = n_blocks * block_edges;
+  if (n_graphs > max_graphs) return -1;
+
+  std::memset(out_node_feat, 0, (size_t)(max_nodes * fn_bytes));
+  std::memset(out_edge_feat, 0, (size_t)(max_edges * fe_bytes));
+  std::memset(out_send, 0, (size_t)max_edges * sizeof(int32_t));
+  std::memset(out_recv, 0, (size_t)max_edges * sizeof(int32_t));
+  std::memset(out_node_graph, 0, (size_t)max_nodes * sizeof(int32_t));
+  std::memset(out_node_mask, 0, (size_t)max_nodes);
+  std::memset(out_edge_mask, 0, (size_t)max_edges);
+  std::memset(out_graph_mask, 0, (size_t)max_graphs);
+  std::memset(block_fill_n, 0, (size_t)n_blocks * sizeof(int64_t));
+  std::memset(block_fill_e, 0, (size_t)n_blocks * sizeof(int64_t));
+
+  for (int64_t g = 0; g < n_graphs; ++g) {
+    const int64_t gi = graph_ids[g];
+    const int64_t b = block_of[g];
+    if (b < 0 || b >= n_blocks) return -1;
+    const int64_t n0 = node_off[gi], nn = node_off[gi + 1] - n0;
+    const int64_t e0 = edge_off[gi], ne = edge_off[gi + 1] - e0;
+    if (block_fill_n[b] + nn > block_nodes ||
+        block_fill_e[b] + ne > block_edges)
+      return -1;
+    const int64_t n_cursor = b * block_nodes + block_fill_n[b];
+    const int64_t e_cursor = b * block_edges + block_fill_e[b];
+
+    std::memcpy(out_node_feat + n_cursor * fn_bytes,
+                node_feat_bytes + n0 * fn_bytes, (size_t)(nn * fn_bytes));
+    std::memcpy(out_edge_feat + e_cursor * fe_bytes,
+                edge_feat_bytes + e0 * fe_bytes, (size_t)(ne * fe_bytes));
+    const int32_t off = (int32_t)n_cursor;
+    for (int64_t e = 0; e < ne; ++e) {
+      out_recv[e_cursor + e] = edge_recv[e0 + e] + off;
+      out_send[e_cursor + e] = edge_send[e0 + e] + off;
+    }
+    for (int64_t n = 0; n < nn; ++n) {
+      out_node_graph[n_cursor + n] = (int32_t)g;
+      out_node_mask[n_cursor + n] = 1;
+    }
+    std::memset(out_edge_mask + e_cursor, 1, (size_t)ne);
+    out_graph_mask[g] = 1;
+    block_fill_n[b] += nn;
+    block_fill_e[b] += ne;
+  }
+  return 0;
+}
+
+}  // extern "C"

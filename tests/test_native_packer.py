@@ -1,0 +1,83 @@
+"""Native C++ packer: must build, match the python pack_graphs output
+bit-for-bit, and be faster than the per-graph python path."""
+
+import time
+
+import numpy as np
+import pytest
+
+from pretrain_gnns_tpu.core import graphs as G
+from pretrain_gnns_tpu.data.flat import FlatGraphs, FlatLoader
+from pretrain_gnns_tpu.data.packing import PackedLoader
+from pretrain_gnns_tpu.data.synthetic import molecule_dataset
+from pretrain_gnns_tpu.native import load as load_native
+
+
+def test_native_library_builds():
+    lib = load_native()
+    assert lib is not None, "g++ build of libpacker.so failed"
+
+
+def test_flat_pack_matches_pack_graphs(rng):
+    graphs, _ = molecule_dataset(40, num_tasks=3, seed=2)
+    flat = FlatGraphs.from_graphs(graphs)
+    ids = rng.permutation(40)[:16]
+    got = flat.pack(ids, 512, 1280, 16)
+    ref = G.pack_graphs([graphs[i] for i in ids], 512, 1280, 16,
+                        np_out=True)
+    np.testing.assert_array_equal(got.node_feat, ref.node_feat)
+    np.testing.assert_array_equal(got.edge_feat, ref.edge_feat)
+    np.testing.assert_array_equal(got.senders, ref.senders)
+    np.testing.assert_array_equal(got.receivers, ref.receivers)
+    np.testing.assert_array_equal(got.node_graph, ref.node_graph)
+    np.testing.assert_array_equal(got.node_mask, ref.node_mask)
+    np.testing.assert_array_equal(got.edge_mask, ref.edge_mask)
+    np.testing.assert_array_equal(got.y, ref.y)
+
+
+def test_flat_pack_float_features(rng):
+    """bio graphs: float edge features, dtype-agnostic byte copy."""
+    from pretrain_gnns_tpu.data.synthetic import bio_dataset
+
+    graphs = bio_dataset(10, seed=1, mean_nodes=20)
+    for g in graphs:
+        g.extras.clear()
+    flat = FlatGraphs.from_graphs(graphs)
+    got = flat.pack(np.arange(6), 512, 2048, 6)
+    ref = G.pack_graphs(graphs[:6], 512, 2048, 6, np_out=True)
+    np.testing.assert_array_equal(got.edge_feat, ref.edge_feat)
+    np.testing.assert_array_equal(got.node_feat, ref.node_feat)
+
+
+def test_flat_loader_covers_dataset(rng):
+    graphs, _ = molecule_dataset(70, num_tasks=1, seed=3)
+    flat = FlatGraphs.from_graphs(graphs)
+    loader = FlatLoader(flat, 16, 512, 1280, shuffle=True, seed=0)
+    total = sum(int(b.graph_mask.sum()) for b in loader)
+    assert total == 70
+
+
+def test_native_faster_than_python():
+    graphs, _ = molecule_dataset(512, num_tasks=1, seed=4)
+    flat = FlatGraphs.from_graphs(graphs)
+    ids = np.arange(256)
+
+    t0 = time.perf_counter()
+    for _ in range(20):
+        flat.pack(ids, 8192, 20480, 256)
+    t_native = time.perf_counter() - t0
+
+    sel = [graphs[i] for i in ids]
+    t0 = time.perf_counter()
+    for _ in range(20):
+        G.pack_graphs(sel, 8192, 20480, 256, np_out=True)
+    t_python = time.perf_counter() - t0
+    # informative, not brittle: native must not be slower
+    assert t_native < t_python, (t_native, t_python)
+
+
+def test_overflow_raises(rng):
+    graphs, _ = molecule_dataset(8, seed=5)
+    flat = FlatGraphs.from_graphs(graphs)
+    with pytest.raises(ValueError):
+        flat.pack(np.arange(8), 16, 64, 8)
