@@ -49,6 +49,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--filename", default="", help="result tag")
     p.add_argument("--tensorboard", type=int, default=0)
     p.add_argument("--n_synthetic", type=int, default=800)
+    p.add_argument("--cv_fold", type=int, default=-1,
+                   help=">=0: 10-fold CV protocol (mutag/ptc_mr)")
     return p
 
 
@@ -109,6 +111,16 @@ def main(argv=None):
     )
     trunk = load_trunk_any(args.input_model_file) if args.input_model_file \
         else None
+    if args.cv_fold >= 0:
+        cfg.batch_size = min(cfg.batch_size, 8)  # reference default batch 8
+        res = finetune.run_finetune_cv(
+            cfg, graphs, fold_idx=args.cv_fold, pretrained_trunk=trunk,
+        )
+        out = {"dataset": args.dataset, "fold": args.cv_fold,
+               "val_acc": res["val_auc"], "acc": res["test_auc"],
+               "best_epoch": res["best_epoch"]}
+        print(json.dumps(out))
+        return out
 
     writer = None
     run_dir = os.path.join(

@@ -144,7 +144,9 @@ def main(argv=None):
             center=bool(args.center),
         )
         res = pretrain.run_pretrain(
-            cfg, graphs, log=lambda s: print(s, flush=True)
+            cfg, graphs, log=lambda s: print(s, flush=True),
+            checkpoint_dir=args.checkpoint_dir or None,
+            checkpoint_every=args.checkpoint_every,
         )
         history = res["history"]
         trunk_name = (

@@ -230,3 +230,31 @@ def run_finetune(
         "test_auc": curves["test"][best_epoch],
         "state": state,
     }
+
+
+def run_finetune_cv(
+    cfg: FinetuneConfig,
+    graphs: Sequence[Graph],
+    fold_idx: int = 0,
+    n_splits: int = 10,
+    pretrained_trunk: Optional[Dict[str, Any]] = None,
+    log: Optional[Callable[[str], None]] = print,
+) -> Dict[str, Any]:
+    """10-fold CV variant for mutag/ptc_mr (chem/finetune_mutag_ptc.py):
+    StratifiedKFold on the single task's labels, metric = accuracy of
+    sign(score) (:65-78); no test split — validation doubles as the
+    reported metric."""
+    labels = [float(np.asarray(g.y).reshape(-1)[0]) for g in graphs]
+    from pretrain_gnns_tpu.data import splitters
+
+    tr_idx, va_idx = splitters.cv_random_split(
+        labels, fold_idx=fold_idx, n_splits=n_splits, seed=cfg.seed
+    )
+    train_g = [graphs[i] for i in tr_idx]
+    val_g = [graphs[i] for i in va_idx]
+    res = run_finetune(
+        cfg, train_g, val_g, val_g, pretrained_trunk=pretrained_trunk,
+        metric="accuracy", log=log,
+    )
+    res["fold_idx"] = fold_idx
+    return res

@@ -192,7 +192,12 @@ def run_pretrain(
     graphs: Sequence[Graph],
     log: Optional[Callable[[str], None]] = print,
     epochs: Optional[int] = None,
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every: int = 0,
 ) -> Dict[str, Any]:
+    """Train one SSL objective. With ``checkpoint_dir``, orbax step
+    checkpoints are written every ``checkpoint_every`` epochs (and at the
+    end), and an interrupted run resumes from the latest step."""
     model = build_objective(cfg)
     loader = build_loader(cfg, graphs)
     first = next(iter(loader))
@@ -207,8 +212,24 @@ def run_pretrain(
     state = TrainState.create(variables, tx, rng)
     step = make_pretrain_step(model, tx)
 
+    mgr = None
+    start_epoch = 1
+    steps_per_epoch = max(len(loader), 1) if hasattr(loader, "__len__") \
+        else None
+    if checkpoint_dir:
+        from pretrain_gnns_tpu.train.checkpoints import CheckpointManager
+
+        mgr = CheckpointManager(checkpoint_dir)
+        latest = mgr.latest_step()
+        if latest is not None:
+            state = mgr.restore(state, latest)
+            if steps_per_epoch:
+                start_epoch = int(latest) // steps_per_epoch + 1
+            if log:
+                log(f"resumed from step {latest} (epoch {start_epoch})")
+
     history = []
-    for epoch in range(1, (epochs or cfg.epochs) + 1):
+    for epoch in range(start_epoch, (epochs or cfg.epochs) + 1):
         tot, nb = 0.0, 0
         agg: Dict[str, float] = {}
         for item in loader:
@@ -224,6 +245,11 @@ def run_pretrain(
         if log:
             log(" ".join(f"{k}={v:.4f}" if isinstance(v, float) else
                          f"{k}={v}" for k, v in row.items()))
+        if mgr and checkpoint_every and epoch % checkpoint_every == 0:
+            mgr.save(int(state.step), state)
+    if mgr:
+        mgr.save(int(state.step), state)
+        mgr.close()
     return {"state": state, "history": history, "model": model}
 
 
