@@ -17,7 +17,33 @@ from typing import Callable, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from pretrain_gnns_tpu.core.graphs import Graph, PackedGraphs, pack_graphs
+from pretrain_gnns_tpu.core.graphs import (
+    Graph, PackedGraphs, pack_graphs, pack_graphs_blocked,
+)
+
+
+def block_layout(
+    graphs: Sequence[Graph],
+    batch_size: int,
+    block_nodes: int = 256,
+    block_edges: int = 768,
+    slack: float = 1.3,
+) -> Tuple[int, int, int]:
+    """(n_blocks, block_nodes, block_edges) for the block-diagonal layout
+    consumed by the Pallas SpMM kernel; capacities grow to fit the largest
+    single graph."""
+    n = np.array([g.num_nodes for g in graphs])
+    e = np.array([g.num_edges for g in graphs])
+    block_nodes = max(block_nodes, int(n.max()))
+    block_edges = max(block_edges, int(e.max()))
+    block_nodes = (block_nodes + 7) // 8 * 8
+    block_edges = (block_edges + 127) // 128 * 128
+    n_blocks = max(
+        int(math.ceil(n.mean() * batch_size * slack / block_nodes)),
+        int(math.ceil(e.mean() * batch_size * slack / block_edges)),
+        1,
+    )
+    return n_blocks, block_nodes, block_edges
 
 
 def buffer_sizes(
@@ -68,10 +94,15 @@ class PackedLoader:
         seed: int = 0,
         transform: Optional[Callable[[Graph, np.random.Generator], Graph]] = None,
         extra_pad=None,
+        blocks: Optional[Tuple[int, int, int]] = None,
     ):
         self.graphs = list(graphs)
         self.batch_size = batch_size
-        if max_nodes is None or max_edges is None:
+        self.blocks = blocks
+        if blocks is not None:
+            n_blocks, bn, be = blocks
+            max_nodes, max_edges = n_blocks * bn, n_blocks * be
+        elif max_nodes is None or max_edges is None:
             mn, me = buffer_sizes(self.graphs, batch_size)
             max_nodes = max_nodes or mn
             max_edges = max_edges or me
@@ -97,6 +128,12 @@ class PackedLoader:
         self._epoch += 1
 
         def _pack(batch: List[Graph]) -> PackedGraphs:
+            if self.blocks is not None:
+                n_blocks, bn, be = self.blocks
+                return pack_graphs_blocked(
+                    batch, n_blocks, bn, be, self.batch_size,
+                    extra_pad=self.extra_pad, np_out=True,
+                )
             return pack_graphs(
                 batch,
                 self.max_nodes,
@@ -106,23 +143,53 @@ class PackedLoader:
                 np_out=True,  # host-side; jit transfers per step
             )
 
+        def fits(g: Graph, fills) -> bool:
+            if self.blocks is None:
+                return (
+                    n_nodes + g.num_nodes <= self.max_nodes
+                    and n_edges + g.num_edges <= self.max_edges
+                )
+            # blocked: simulate the packer's first-fit (fragmentation-aware)
+            n_blocks, bn, be = self.blocks
+            for b in range(n_blocks):
+                if (
+                    fills[b][0] + g.num_nodes <= bn
+                    and fills[b][1] + g.num_edges <= be
+                ):
+                    fills[b] = (
+                        fills[b][0] + g.num_nodes,
+                        fills[b][1] + g.num_edges,
+                    )
+                    return True
+            return False
+
+        def new_fills():
+            return (
+                [(0, 0) for _ in range(self.blocks[0])]
+                if self.blocks is not None
+                else None
+            )
+
         batch: List[Graph] = []
         n_nodes = n_edges = 0
+        fills = new_fills()
         for idx in order:
             g = self.graphs[idx]
             if self.transform is not None:
                 g = self.transform(g, rng)
-            if batch and (
-                n_nodes + g.num_nodes > self.max_nodes
-                or n_edges + g.num_edges > self.max_edges
-            ):
+            if batch and not fits(g, fills):
                 yield _pack(batch)  # buffer overflow: flush early
                 batch, n_nodes, n_edges = [], 0, 0
+                fills = new_fills()
+                fits(g, fills)
+            elif not batch:
+                fits(g, fills)  # seed the fill simulation
             batch.append(g)
             n_nodes += g.num_nodes
             n_edges += g.num_edges
             if len(batch) == self.batch_size:
                 yield _pack(batch)
                 batch, n_nodes, n_edges = [], 0, 0
+                fills = new_fills()
         if batch and not self.drop_last:
             yield _pack(batch)

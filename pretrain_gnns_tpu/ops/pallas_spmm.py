@@ -61,6 +61,12 @@ def _vmem():
     return dict(memory_space=pltpu.VMEM) if _HAS_PLTPU else {}
 
 
+def _precision(compute_dtype):
+    # with f32 compute, force true-f32 MXU passes (default would be bf16)
+    return (jax.lax.Precision.HIGHEST
+            if compute_dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
+
+
 def _fwd_kernel(has_ee, block_nodes, block_edges, compute_dtype,
                 snd_ref, rcv_ref, w_ref, x_ref, *rest):
     if has_ee:
@@ -75,10 +81,11 @@ def _fwd_kernel(has_ee, block_nodes, block_edges, compute_dtype,
     node_ids = jax.lax.broadcasted_iota(
         jnp.int32, (block_edges, block_nodes), 1
     )
+    prec = _precision(compute_dtype)
     S = (snd[:, None] == node_ids).astype(compute_dtype)
     msg = jnp.dot(
         S, x_ref[:].astype(compute_dtype),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=prec,
     )
     if has_ee:
         msg = msg + ee_ref[:]
@@ -86,7 +93,7 @@ def _fwd_kernel(has_ee, block_nodes, block_edges, compute_dtype,
     R = (rcv[:, None] == node_ids).astype(compute_dtype)
     out_ref[:] = jnp.dot(
         R.T, msg.astype(compute_dtype),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=prec,
     )
 
 
@@ -100,16 +107,17 @@ def _bwd_kernel(block_nodes, block_edges, compute_dtype,
     node_ids = jax.lax.broadcasted_iota(
         jnp.int32, (block_edges, block_nodes), 1
     )
+    prec = _precision(compute_dtype)
     R = (rcv[:, None] == node_ids).astype(compute_dtype)
     dmsg = jnp.dot(
         R, g_ref[:].astype(compute_dtype),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=prec,
     ) * w[:, None]
     dmsg_ref[:] = dmsg
     S = (snd[:, None] == node_ids).astype(compute_dtype)
     dx_ref[:] = jnp.dot(
         S.T, dmsg.astype(compute_dtype),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=prec,
     )
 
 
