@@ -72,16 +72,26 @@ def split_dataset(args, graphs, scaffolds):
             [g.extras["species_id"][0][0] for g in graphs]
         )
         tv, te = splitters.species_split(species)
-        # bio protocol: val = 15% of trainval via seeded random split
-        # (bio/finetune.py:116-119)
+        # bio protocol (bio/finetune.py:116-119): val = 15% of trainval;
+        # human test split 50/50 into easy ("broad", overlaps the
+        # supervised-pretrain set) and hard
         tr_idx, va_idx, _ = splitters.random_split(
             len(tv), frac_train=0.85, frac_valid=0.15, frac_test=0.0,
             seed=args.seed,
         )
-        tr = [tv[i] for i in tr_idx]
-        va = [tv[i] for i in va_idx]
+        easy_idx, hard_idx, _ = splitters.random_split(
+            len(te), frac_train=0.5, frac_valid=0.5, frac_test=0.0,
+            seed=args.seed,
+        )
+        pick = lambda idx: [graphs[i] for i in idx]
+        return (
+            pick([tv[i] for i in tr_idx]),
+            pick([tv[i] for i in va_idx]),
+            pick([te[i] for i in easy_idx]),
+            {"test_hard": pick([te[i] for i in hard_idx])},
+        )
     pick = lambda idx: [graphs[i] for i in idx]
-    return pick(tr), pick(va), pick(te)
+    return pick(tr), pick(va), pick(te), None
 
 
 def main(argv=None):
@@ -99,7 +109,9 @@ def main(argv=None):
     )
     if args.domain == "bio" and args.split == "scaffold":
         args.split = "species"
-    train_g, val_g, test_g = split_dataset(args, graphs, scaffolds)
+    train_g, val_g, test_g, extra_test = split_dataset(
+        args, graphs, scaffolds
+    )
 
     cfg = finetune.FinetuneConfig(
         domain=args.domain, num_tasks=num_tasks, num_layer=args.num_layer,
@@ -134,7 +146,8 @@ def main(argv=None):
         writer = SummaryWriter(run_dir)
 
     res = finetune.run_finetune(cfg, train_g, val_g, test_g,
-                                pretrained_trunk=trunk)
+                                pretrained_trunk=trunk,
+                                extra_test=extra_test)
     if writer is not None:
         for i, (v, t) in enumerate(
             zip(res["curves"]["val"], res["curves"]["test"]), 1
@@ -153,6 +166,9 @@ def main(argv=None):
         "val_auc": res["val_auc"],
         "test_auc": res["test_auc"],
     }
+    for name in (extra_test or {}):
+        out[name] = res["curves"][name]
+        out[f"{name}_auc"] = res["curves"][name][res["best_epoch"] - 1]
     with open(os.path.join(run_dir, "result.json"), "w") as f:
         json.dump(out, f)
     print(json.dumps({"val_auc": res["val_auc"],

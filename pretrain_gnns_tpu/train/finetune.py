@@ -120,6 +120,34 @@ def make_train_step(model, tx, loss_kind: str = "chem"):
     return step
 
 
+def make_scan_train_step(model, tx, loss_kind: str = "chem"):
+    """Device-side multi-step trainer: one dispatch runs K train steps via
+    ``lax.scan`` over a stacked batch pytree (leaves ``[K, ...]``).
+    Amortizes host dispatch latency — the TPU-native replacement for the
+    reference's per-batch python loop."""
+    single = make_train_step(model, tx, loss_kind)
+
+    @jax.jit
+    def scan_steps(state: TrainState, stacked: PackedGraphs):
+        def body(st, batch):
+            st, loss = single(st, batch)
+            return st, loss
+
+        state, losses = jax.lax.scan(body, state, stacked)
+        return state, losses
+
+    return scan_steps
+
+
+def stack_batches(batches) -> PackedGraphs:
+    """[K] identically-shaped PackedGraphs -> leaves stacked on axis 0."""
+    import numpy as np
+
+    return jax.tree_util.tree_map(
+        lambda *xs: np.stack([np.asarray(x) for x in xs], axis=0), *batches
+    )
+
+
 def make_eval_step(model):
     @jax.jit
     def logits(state: TrainState, batch: PackedGraphs):
@@ -180,6 +208,7 @@ def run_finetune(
     pretrained_trunk: Optional[Dict[str, Any]] = None,
     metric: Optional[str] = None,
     log: Optional[Callable[[str], None]] = print,
+    extra_test: Optional[Dict[str, Sequence[Graph]]] = None,
 ) -> Dict[str, Any]:
     """Full fine-tune run; returns per-epoch AUC curves plus the
     best-val-epoch test AUC (the protocol headline number)."""
@@ -198,6 +227,10 @@ def run_finetune(
               extra_pad=extra_pad)
     val_loader = PackedLoader(valid_graphs, cfg.batch_size, **kw)
     test_loader = PackedLoader(test_graphs, cfg.batch_size, **kw)
+    extra_loaders = {
+        name: PackedLoader(gs, cfg.batch_size, **kw)
+        for name, gs in (extra_test or {}).items() if gs
+    }
 
     sample = next(iter(val_loader))
     state, tx = init_state(cfg, model, sample, pretrained_trunk)
@@ -205,6 +238,8 @@ def run_finetune(
     eval_step = make_eval_step(model)
 
     curves = {"train_loss": [], "val": [], "test": []}
+    for name in extra_loaders:
+        curves[name] = []
     for epoch in range(1, cfg.epochs + 1):
         tot, nb = 0.0, 0
         for batch in train_loader:
@@ -216,6 +251,8 @@ def run_finetune(
         curves["train_loss"].append(tot / max(nb, 1))
         curves["val"].append(val_auc)
         curves["test"].append(test_auc)
+        for name, ldr in extra_loaders.items():
+            curves[name].append(evaluate(eval_step, state, ldr, metric))
         if log:
             log(
                 f"epoch {epoch}: loss {curves['train_loss'][-1]:.4f} "
