@@ -5,6 +5,12 @@ emb 300, batch 256 ZINC-shaped molecules (~23 atoms), full train step
 (forward + backward + Adam). Metric = valid (real, non-padding) edges
 processed per second, counting each directed edge once per step.
 
+Methodology: the training loop is the framework's device-side scan trainer
+(K steps per dispatch, ``train.finetune.make_scan_train_step``); timing
+covers dispatch + compute + a final scalar readback of the summed losses —
+on remote-attached TPU runtimes, ``block_until_ready`` alone can return
+before execution finishes, so only a value readback is trusted.
+
 Baseline = the same math implemented in torch (the reference's framework;
 torch-CPU is the only reference-runnable hardware here — torch-geometric /
 CUDA are unavailable). vs_baseline = our edges/s divided by torch's.
@@ -13,17 +19,19 @@ Prints exactly one JSON line.
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
 
 BATCH_GRAPHS = 256
 NUM_TASKS = 12
 EMB = 300
 LAYERS = 5
-WARMUP = 3
-STEPS = 20
+SCAN_K = 64  # train steps fused per dispatch
+ROUNDS = 3  # timed dispatches
 TORCH_STEPS = 5
 
 
@@ -37,6 +45,13 @@ def _dataset():
 
 def bench_jax(graphs):
     import jax
+    import jax.numpy as jnp
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["JAX_COMPILATION_CACHE_DIR"])
+    except Exception:
+        pass
 
     from pretrain_gnns_tpu.data.packing import PackedLoader
     from pretrain_gnns_tpu.train import finetune, optim
@@ -47,34 +62,33 @@ def bench_jax(graphs):
         gnn_type="gin", dropout_ratio=0.0, batch_size=BATCH_GRAPHS,
     )
     model = finetune.build_model(cfg)
-    loader = PackedLoader(graphs, BATCH_GRAPHS, shuffle=False,
-                          drop_last=True)
-    batches = list(loader)
-    batch = batches[0]
-    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    batches_np = list(
+        PackedLoader(graphs, BATCH_GRAPHS, shuffle=False, drop_last=True)
+    )
+    reps = [batches_np[i % len(batches_np)] for i in range(SCAN_K)]
+    edges_per_scan = sum(int(b.edge_mask.sum()) for b in reps)
+    stacked = jax.device_put(finetune.stack_batches(reps))
+
+    variables = model.init(jax.random.PRNGKey(0), batches_np[0],
+                           train=False)
     tx = optim.adam(1e-3)
     state = TrainState.create(variables, tx, jax.random.PRNGKey(1))
-    step = finetune.make_train_step(model, tx, "chem")
+    scan = finetune.make_scan_train_step(model, tx, "chem")
 
-    # stage batches on device and precount edges: the timed loop must not
-    # contain host<->device syncs
-    edge_counts = [int(np.asarray(b.edge_mask).sum()) for b in batches]
-    batches = [jax.device_put(b) for b in batches]
-    for b in batches:
-        jax.block_until_ready(b.node_feat)
+    # compile + warm readback
+    state, losses = scan(state, stacked)
+    _ = float(jnp.sum(losses))
 
-    for i in range(WARMUP):
-        state, loss = step(state, batches[i % len(batches)])
-    jax.block_until_ready(loss)
-
-    edges = 0
     t0 = time.perf_counter()
-    for i in range(STEPS):
-        state, loss = step(state, batches[i % len(batches)])
-        edges += edge_counts[i % len(batches)]
-    jax.block_until_ready(loss)
+    acc = None
+    for _ in range(ROUNDS):
+        state, losses = scan(state, stacked)
+        s = jnp.sum(losses)
+        acc = s if acc is None else acc + s
+    final = float(acc)  # single readback closes the timing
     dt = time.perf_counter() - t0
-    return edges / dt
+    assert np.isfinite(final)
+    return edges_per_scan * ROUNDS / dt
 
 
 def bench_torch(graphs):
@@ -128,8 +142,6 @@ def bench_torch(graphs):
     model = GIN()
     opt = torch.optim.Adam(model.parameters(), lr=1e-3)
 
-    # build torch batches of BATCH_GRAPHS graphs (unpadded mega-graph,
-    # exactly the reference's collation)
     def collate(gs):
         xs, eis, eas, segs = [], [], [], []
         off = 0

@@ -249,12 +249,14 @@ blocked_spmm.defvjp(_spmm_fwd, _spmm_bwd)
 def gather_scatter_add(
     x, edge_emb, senders, receivers, edge_mask, num_nodes,
     edge_weight=None, block_nodes: int = 0, block_edges: int = 0,
-    compute_dtype=jnp.float32, interpret: bool = False,
+    compute_dtype=None, interpret: bool = False,
 ) -> Optional[jnp.ndarray]:
     """Returns None when the batch is not block-diagonal (caller falls back
     to the XLA path)."""
     if block_nodes <= 0 or block_edges <= 0:
         return None
+    if compute_dtype is None:
+        compute_dtype = jnp.float32
     w = edge_mask.astype(jnp.float32)
     if edge_weight is not None:
         w = w * edge_weight

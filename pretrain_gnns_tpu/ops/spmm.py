@@ -34,6 +34,16 @@ import jax.numpy as jnp
 from pretrain_gnns_tpu.ops import segment as seg
 
 _BACKEND = os.environ.get("PGT_SPMM_BACKEND", "auto")
+# kernel compute dtype for the one-hot matmuls: bf16 is ~4x faster than
+# f32-HIGHEST on the MXU; parity tests pin f32 via set_compute_dtype
+_DTYPE = os.environ.get("PGT_SPMM_DTYPE", "bfloat16")
+
+
+def set_compute_dtype(name: str) -> None:
+    global _DTYPE
+    if name not in ("float32", "bfloat16"):
+        raise ValueError(name)
+    _DTYPE = name
 
 
 def set_backend(name: str) -> None:
@@ -76,11 +86,13 @@ def gather_scatter(
         from pretrain_gnns_tpu.ops import pallas_spmm
 
         interpret = not _on_tpu()
+        cdt = jnp.float32 if _DTYPE == "float32" else jnp.bfloat16
         if combine == "add":
             return pallas_spmm.gather_scatter_add(
                 x, edge_emb, senders, receivers, edge_mask, num_nodes,
                 edge_weight=edge_weight, block_nodes=block_nodes,
-                block_edges=block_edges, interpret=interpret,
+                block_edges=block_edges, compute_dtype=cdt,
+                interpret=interpret,
             )
         if combine == "concat":
             # concat(x_j, e) summed per receiver splits into two halves:
@@ -89,13 +101,15 @@ def gather_scatter(
             left = pallas_spmm.gather_scatter_add(
                 x, None, senders, receivers, edge_mask, num_nodes,
                 edge_weight=edge_weight, block_nodes=block_nodes,
-                block_edges=block_edges, interpret=interpret,
+                block_edges=block_edges, compute_dtype=cdt,
+                interpret=interpret,
             )
             right = pallas_spmm.gather_scatter_add(
                 jnp.zeros_like(x[:, :edge_emb.shape[1]]), edge_emb,
                 senders, receivers, edge_mask, num_nodes,
                 edge_weight=edge_weight, block_nodes=block_nodes,
-                block_edges=block_edges, interpret=interpret,
+                block_edges=block_edges, compute_dtype=cdt,
+                interpret=interpret,
             )
             return jnp.concatenate([left, right], axis=-1)
     return _xla(

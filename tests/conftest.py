@@ -16,6 +16,7 @@ if "xla_force_host_platform_device_count" not in _flags:
 # Keep the Pallas kernels out of the default CPU test path; kernel tests
 # opt in via interpret mode explicitly.
 os.environ.setdefault("PGT_SPMM_BACKEND", "xla")
+os.environ.setdefault("PGT_SPMM_DTYPE", "float32")  # parity tolerances
 
 import jax  # noqa: E402
 
