@@ -90,16 +90,33 @@ _SAFE_BUILTINS = {
 }
 
 
-class _Unpickler(pickle.Unpickler):
-    """Allow-list unpickler: torch tensor plumbing only, nothing executable."""
+class ObjStub:
+    """Inert stand-in for a foreign class in a pickle (e.g. PyG ``Data``):
+    pickle NEWOBJ/BUILD only allocates it and fills ``__dict__`` — no code
+    from the original class ever runs."""
 
-    def __init__(self, f, storages: Dict[str, _StorageRef]):
+    def __init__(self, *args, **kwargs):  # REDUCE-with-args tolerance
+        pass
+
+
+class _Unpickler(pickle.Unpickler):
+    """Allow-list unpickler: torch tensor plumbing only, nothing executable.
+
+    ``extra_classes`` maps additional allowed (module, name) pairs to inert
+    stub classes (used by compat.import_pyg for torch_geometric containers).
+    """
+
+    def __init__(self, f, storages: Dict[str, _StorageRef],
+                 extra_classes: Dict[tuple, type] | None = None):
         super().__init__(f, encoding="utf-8")
         self._storages = storages
+        self._extra = extra_classes or {}
 
     def find_class(self, module, name):
         if (module, name) in _SAFE_BUILTINS:
             return _SAFE_BUILTINS[(module, name)]
+        if (module, name) in self._extra:
+            return self._extra[(module, name)]
         if module == "torch" and name in _STORAGE_DTYPES:
             return _StorageTypeTag(name)
         raise pickle.UnpicklingError(
@@ -128,17 +145,22 @@ def _materialize(obj: Any) -> Any:
         return type(obj)((k, _materialize(v)) for k, v in obj.items())
     if isinstance(obj, (list, tuple)):
         return type(obj)(_materialize(v) for v in obj)
+    if isinstance(obj, ObjStub):
+        obj.__dict__ = {
+            k: _materialize(v) for k, v in obj.__dict__.items()
+        }
+        return obj
     return obj
 
 
-def _load_legacy(f) -> Any:
+def _load_legacy(f, extra_classes=None) -> Any:
     storages: Dict[str, _StorageRef] = {}
     magic = pickle.load(f)
     if magic != _MAGIC:
         raise ValueError("not a legacy torch file (bad magic)")
     pickle.load(f)  # protocol version
     pickle.load(f)  # sys info
-    result = _Unpickler(f, storages).load()
+    result = _Unpickler(f, storages, extra_classes).load()
     keys = pickle.load(f)
     for key in keys:
         ref = storages[key]
@@ -150,22 +172,24 @@ def _load_legacy(f) -> Any:
     return _materialize(result)
 
 
-def _load_zip(path: str) -> Any:
+def _load_zip(path: str, extra_classes=None) -> Any:
     storages: Dict[str, _StorageRef] = {}
     with zipfile.ZipFile(path) as zf:
         names = zf.namelist()
         pkl_name = next(n for n in names if n.endswith("/data.pkl"))
         prefix = pkl_name[: -len("data.pkl")]
-        result = _Unpickler(io.BytesIO(zf.read(pkl_name)), storages).load()
+        result = _Unpickler(
+            io.BytesIO(zf.read(pkl_name)), storages, extra_classes
+        ).load()
         for key, ref in storages.items():
             raw = zf.read(f"{prefix}data/{key}")
             ref.data = np.frombuffer(raw, dtype=np.dtype(ref.dtype))
     return _materialize(result)
 
 
-def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
+def load_torch_checkpoint(path: str, extra_classes=None) -> Dict[str, np.ndarray]:
     """Load a torch checkpoint (legacy or zip) as name -> numpy array."""
     if zipfile.is_zipfile(path):
-        return _load_zip(path)
+        return _load_zip(path, extra_classes)
     with open(path, "rb") as f:
-        return _load_legacy(f)
+        return _load_legacy(f, extra_classes)
