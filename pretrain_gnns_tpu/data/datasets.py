@@ -125,6 +125,30 @@ def load_graphs(
     return graphs, scaffolds, meta
 
 
+def merge_graph_datasets(
+    graphs_1: Sequence[Graph], graphs_2: Sequence[Graph]
+) -> List[Graph]:
+    """Naively merge two labelled graph lists by zero-padding task vectors
+    (reference ``merge_dataset_objs``, chem/loader.py:741-780: used to join
+    chembl_with_labels [1310 tasks] with pcba_pretrain [128 tasks] into a
+    1438-task supervised pretraining set). Keeps only the structural
+    arrays + padded y, like the reference."""
+    t1 = len(np.asarray(graphs_1[0].y).ravel())
+    t2 = len(np.asarray(graphs_2[0].y).ravel())
+    out: List[Graph] = []
+    for g in graphs_1:
+        y = np.concatenate(
+            [np.asarray(g.y, np.float32).ravel(), np.zeros(t2, np.float32)]
+        )
+        out.append(Graph(g.node_feat, g.edge_index, g.edge_feat, y=y))
+    for g in graphs_2:
+        y = np.concatenate(
+            [np.zeros(t1, np.float32), np.asarray(g.y, np.float32).ravel()]
+        )
+        out.append(Graph(g.node_feat, g.edge_index, g.edge_feat, y=y))
+    return out
+
+
 def processed_dir(root: str, name: str) -> str:
     return os.path.join(root, name, "processed_tpu")
 

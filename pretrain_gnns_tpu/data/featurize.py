@@ -311,6 +311,12 @@ def process_dataset(
     if name == "chembl_filtered":
         return process_chembl_filtered(root, downstream_dirs)
 
+    if name in ("mutag", "ptc_mr"):
+        return _process_mutag_ptc(name, root)
+
+    if name in ("pcba", "pcba_pretrain"):
+        return _process_pcba(name, root)
+
     spec = CSV_SPECS[name]
     path = os.path.join(root, name, "raw", spec.raw_file)
     smiles, mols, labels = load_csv_dataset(name, path)
@@ -326,6 +332,108 @@ def process_dataset(
     datasets.save_graphs(
         graphs, out_dir, scaffolds=scaffolds, smiles=smiles_out,
         meta={"num_tasks": int(labels.shape[1]), "dataset": name},
+    )
+    return len(graphs)
+
+
+def _process_mutag_ptc(name: str, root: str) -> int:
+    """mutag / ptc_mr CV datasets (chem/loader.py:661-720): mutag reads a
+    space-separated ``.can`` smiles file plus a one-column target file;
+    ptc_mr a headerless csv ``id,label,smiles``. Labels are kept raw
+    ({-1,+1}; the CV fine-tune metric is sign accuracy,
+    chem/finetune_mutag_ptc.py:65-78). Invalid molecules are skipped."""
+    import pandas as pd
+
+    from pretrain_gnns_tpu.data import datasets
+
+    _, AllChem = _rdkit()
+    raw = os.path.join(root, name, "raw")
+    if name == "mutag":
+        smiles_list = pd.read_csv(
+            os.path.join(raw, "mutag_188_data.can"), sep=" ", header=None
+        )[0]
+        labels = pd.read_csv(
+            os.path.join(raw, "mutag_188_target.txt"), header=None
+        )[0].values
+    else:
+        df = pd.read_csv(
+            os.path.join(raw, "ptc_MR.csv"), sep=",", header=None,
+            names=["id", "label", "smiles"],
+        )
+        smiles_list, labels = df["smiles"], df["label"].values
+
+    graphs, smiles_out, scaffolds = [], [], []
+    for i, s in enumerate(smiles_list):
+        mol = AllChem.MolFromSmiles(s)
+        if mol is None:
+            continue
+        g = mol_to_graph(mol)
+        g.y = np.array([labels[i]], np.float32)
+        graphs.append(g)
+        smiles_out.append(s)
+        scaffolds.append(generate_scaffold(s))
+    out_dir = datasets.processed_dir(root, name)
+    datasets.save_graphs(
+        graphs, out_dir, scaffolds=scaffolds, smiles=smiles_out,
+        meta={"num_tasks": 1, "dataset": name},
+    )
+    return len(graphs)
+
+
+def _process_pcba(name: str, root: str) -> int:
+    """pcba / pcba_pretrain (chem/loader.py:593-637). NOTE: the reference
+    calls ``_load_pcba_dataset`` which is never defined anywhere in its
+    repo (a dead code path); this reconstructs it from the MoleculeNet
+    pcba.csv layout (PCBA-* task columns + mol_id + smiles) with the same
+    muv-style label coding (0 -> -1, NaN -> 0). ``pcba_pretrain`` applies
+    the reference's leakage filters (chem/loader.py:617-625): single
+    species only (no '.'), MW in [50, 900], standardized InChI not in the
+    ``downstream_mol_inchi_may_24_2019`` exclusion list."""
+    import pandas as pd
+
+    from pretrain_gnns_tpu.data import datasets
+
+    _, AllChem = _rdkit()
+    raw_path = os.path.join(root, name, "raw", "pcba.csv")
+    if not os.path.exists(raw_path):
+        raw_path += ".gz"
+    df = pd.read_csv(raw_path, sep=",")
+    tasks = [c for c in df.columns if c not in ("mol_id", "smiles")]
+    labels = df[tasks].replace(0, -1).fillna(0).values.astype(np.float32)
+    smiles_list = list(df["smiles"])
+
+    excluded = None
+    if name == "pcba_pretrain":
+        from rdkit.Chem import Descriptors
+
+        excl_path = os.path.join(
+            root, name, "downstream_mol_inchi_may_24_2019"
+        )
+        excluded = set(pd.read_csv(excl_path, sep=",", header=None)[0])
+
+    graphs, smiles_out = [], []
+    for i, s in enumerate(smiles_list):
+        mol = AllChem.MolFromSmiles(s)
+        if mol is None:
+            continue
+        if excluded is not None:
+            if "." in s:
+                continue
+            from rdkit.Chem import Descriptors
+
+            if not (50 <= Descriptors.MolWt(mol) <= 900):
+                continue
+            inchi = create_standardized_mol_id(s)
+            if inchi is None or inchi in excluded:
+                continue
+        g = mol_to_graph(mol)
+        g.y = labels[i]
+        graphs.append(g)
+        smiles_out.append(s)
+    out_dir = datasets.processed_dir(root, name)
+    datasets.save_graphs(
+        graphs, out_dir, smiles=smiles_out,
+        meta={"num_tasks": len(tasks), "dataset": name},
     )
     return len(graphs)
 
