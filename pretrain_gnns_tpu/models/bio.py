@@ -32,6 +32,7 @@ from pretrain_gnns_tpu.core.graphs import PackedGraphs
 from pretrain_gnns_tpu.models import inits
 from pretrain_gnns_tpu.models.norm import MaskedBatchNorm
 from pretrain_gnns_tpu.models import pools
+from pretrain_gnns_tpu.ops import attention
 from pretrain_gnns_tpu.ops import segment as seg
 from pretrain_gnns_tpu.ops import spmm
 
@@ -135,23 +136,11 @@ class GATConv(nn.Module):
         x = inits.dense(H * D, D, "weight_linear")(h).reshape(-1, H, D)
         a_i, a_j = att[..., :D], att[..., D:]
 
-        x_i = jnp.take(x, g.receivers, axis=0)
-        x_j = jnp.take(x, g.senders, axis=0) + e
-        logits = nn.leaky_relu(
-            jnp.sum(x_i * a_i + x_j * a_j, axis=-1), self.negative_slope
+        out = attention.gat_attention(
+            x, e, e_self, a_i, a_j, g.senders, g.receivers, g.edge_mask,
+            g.max_nodes, self.negative_slope,
+            block_nodes=g.block_nodes, block_edges=g.block_edges,
         )
-        x_self = x + e_self
-        self_logits = nn.leaky_relu(
-            jnp.sum(x * a_i + x_self * a_j, axis=-1), self.negative_slope
-        )
-        p, p_self = seg.segment_softmax(
-            logits, g.receivers, g.max_nodes, mask=g.edge_mask,
-            extra_logit=self_logits,
-        )
-        out = seg.segment_sum(
-            p[..., None] * x_j, g.receivers, g.max_nodes, mask=g.edge_mask
-        )
-        out = out + p_self[..., None] * x_self
         return jnp.mean(out, axis=1) + bias
 
 
