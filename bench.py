@@ -53,7 +53,7 @@ def bench_jax(graphs):
     except Exception:
         pass
 
-    from pretrain_gnns_tpu.data.packing import PackedLoader
+    from pretrain_gnns_tpu.data.packing import PackedLoader, block_layout
     from pretrain_gnns_tpu.train import finetune, optim
     from pretrain_gnns_tpu.train.state import TrainState
 
@@ -62,8 +62,13 @@ def bench_jax(graphs):
         gnn_type="gin", dropout_ratio=0.0, batch_size=BATCH_GRAPHS,
     )
     model = finetune.build_model(cfg)
+    # block-diagonal layout -> Pallas SpMM path (profiled fastest at
+    # 128-node blocks for ~23-atom molecules)
+    blocks = block_layout(graphs, BATCH_GRAPHS, block_nodes=128,
+                          block_edges=384)
     batches_np = list(
-        PackedLoader(graphs, BATCH_GRAPHS, shuffle=False, drop_last=True)
+        PackedLoader(graphs, BATCH_GRAPHS, shuffle=False, drop_last=True,
+                     blocks=blocks)
     )
     reps = [batches_np[i % len(batches_np)] for i in range(SCAN_K)]
     edges_per_scan = sum(int(b.edge_mask.sum()) for b in reps)

@@ -46,7 +46,7 @@ def _input_embed(mod: nn.Module, x: jnp.ndarray, dim: int):
     emb = mod.param(
         "input_node_embeddings", inits.xavier_uniform, (2, dim)
     )
-    return jnp.take(emb, x[:, 0].astype(jnp.int32), axis=0)
+    return inits.embed(emb, x[:, 0].astype(jnp.int32))
 
 
 class GINConv(nn.Module):

@@ -49,8 +49,8 @@ def _edge_embed(mod: nn.Module, edge_feat: jnp.ndarray, dim: int):
     e2 = mod.param(
         "edge_embedding2", inits.xavier_uniform, (NUM_BOND_DIRECTION, dim)
     )
-    e = jnp.take(e1, edge_feat[:, 0], axis=0) + jnp.take(
-        e2, edge_feat[:, 1], axis=0
+    e = inits.embed(e1, edge_feat[:, 0]) + inits.embed(
+        e2, edge_feat[:, 1]
     )
     e_self = e1[SELF_LOOP_BOND_TYPE] + e2[0]
     return e, e_self
@@ -173,8 +173,8 @@ class GNN(nn.Module):
             "x_embedding2", inits.xavier_uniform,
             (NUM_CHIRALITY_TAG, self.emb_dim),
         )
-        x = jnp.take(emb1, g.node_feat[:, 0], axis=0) + jnp.take(
-            emb2, g.node_feat[:, 1], axis=0
+        x = inits.embed(emb1, g.node_feat[:, 0]) + inits.embed(
+            emb2, g.node_feat[:, 1]
         )
         x = x * g.node_mask[:, None]  # keep padded rows exactly zero
 

@@ -13,12 +13,32 @@ xavier_uniform (chem/model.py:33-34, 233-235); PyG's ``glorot`` on the GAT
 from __future__ import annotations
 
 import math
+import os
 
+import jax
 import jax.numpy as jnp
 from jax import random
 from flax import linen as nn
 
 xavier_uniform = nn.initializers.xavier_uniform()
+
+# Mixed-precision knob for the dense/MLP matmuls (the MXU hot path):
+# parameters stay float32; with "bfloat16" the matmul inputs are cast to
+# bf16 (f32 accumulation on the MXU) and the activations are returned in
+# f32. Default f32 for reference parity; the bench and large-scale
+# pretraining opt into bf16 (PGT_MODEL_DTYPE=bfloat16).
+_DENSE_DTYPE = os.environ.get("PGT_MODEL_DTYPE", "float32")
+
+
+def set_compute_dtype(name: str) -> None:
+    global _DENSE_DTYPE
+    if name not in ("float32", "bfloat16"):
+        raise ValueError(name)
+    _DENSE_DTYPE = name
+
+
+def get_compute_dtype() -> str:
+    return _DENSE_DTYPE
 
 
 def torch_linear_kernel(key, shape, dtype=jnp.float32):
@@ -42,12 +62,37 @@ def pyg_glorot(key, shape, dtype=jnp.float32):
     return random.uniform(key, shape, dtype, -bound, bound)
 
 
+def embed(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
+    """Embedding lookup as a one-hot matmul.
+
+    Forward value is exactly ``jnp.take(table, ids, axis=0)`` (each one-hot
+    row selects a single table row; no accumulation). The point is the
+    BACKWARD: the VJP of ``take`` is a scatter-add into the tiny table,
+    which XLA serializes on TPU (profiled at ~0.25 ms per [6,300] table per
+    step — it dominated the GIN train step); the VJP of the one-hot matmul
+    is ``one_hot.T @ g`` — a single MXU matmul, microseconds."""
+    oh = jax.nn.one_hot(ids, table.shape[0], dtype=table.dtype)
+    return oh @ table
+
+
+class _DenseMixed(nn.Dense):
+    """Dense that computes in ``_DENSE_DTYPE`` but returns float32."""
+
+    @nn.compact
+    def __call__(self, x):
+        return super().__call__(x).astype(jnp.float32)
+
+
 def dense(features: int, fan_in: int, name: str, use_bias: bool = True):
-    """A flax Dense with torch-default init (see module docstring)."""
-    return nn.Dense(
+    """A flax Dense with torch-default init (see module docstring).
+    Computation dtype follows the mixed-precision knob above."""
+    bf16 = _DENSE_DTYPE == "bfloat16"
+    cls = _DenseMixed if bf16 else nn.Dense
+    return cls(
         features,
         use_bias=use_bias,
         kernel_init=torch_linear_kernel,
         bias_init=torch_linear_bias(fan_in),
+        dtype=jnp.bfloat16 if bf16 else None,
         name=name,
     )

@@ -28,6 +28,21 @@ def _apply_mask(data: jnp.ndarray, mask: Optional[jnp.ndarray]) -> jnp.ndarray:
     return data * m.reshape(m.shape + (1,) * (data.ndim - m.ndim))
 
 
+# Below this segment count, segment sums are computed as one-hot matmuls:
+# XLA lowers scatter-adds into few-row outputs to a serialized loop on TPU
+# (profiled at ~0.1 ms per pool per step), while onehot.T @ data is one MXU
+# pass. HIGHEST precision keeps f32 sums exact (each output element is a
+# plain f32 accumulation, same values as the scatter path).
+_MATMUL_SEGMENTS = 1024
+
+
+def _onehot_ids(segment_ids, num_segments, mask, dtype):
+    oh = jax.nn.one_hot(segment_ids, num_segments, dtype=dtype)
+    if mask is not None:
+        oh = oh * mask.astype(dtype)[:, None]
+    return oh
+
+
 def segment_sum(
     data: jnp.ndarray,
     segment_ids: jnp.ndarray,
@@ -35,6 +50,17 @@ def segment_sum(
     mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Sum of ``data`` rows per segment; masked rows contribute zero."""
+    if (
+        data.ndim == 2
+        and segment_ids.ndim == 1
+        and num_segments <= _MATMUL_SEGMENTS
+        and data.shape[0] * num_segments <= 16_000_000  # one-hot size cap
+        and jnp.issubdtype(data.dtype, jnp.floating)
+    ):
+        oh = _onehot_ids(segment_ids, num_segments, mask, data.dtype)
+        return jnp.einsum(
+            "ns,nf->sf", oh, data, precision=jax.lax.Precision.HIGHEST
+        )
     return jax.ops.segment_sum(
         _apply_mask(data, mask), segment_ids, num_segments=num_segments
     )
@@ -46,6 +72,9 @@ def segment_count(
     mask: Optional[jnp.ndarray] = None,
     dtype=jnp.float32,
 ) -> jnp.ndarray:
+    if (segment_ids.ndim == 1 and num_segments <= _MATMUL_SEGMENTS
+            and segment_ids.shape[0] * num_segments <= 16_000_000):
+        return _onehot_ids(segment_ids, num_segments, mask, dtype).sum(0)
     ones = (
         jnp.ones(segment_ids.shape, dtype)
         if mask is None

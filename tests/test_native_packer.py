@@ -62,17 +62,21 @@ def test_native_faster_than_python():
     flat = FlatGraphs.from_graphs(graphs)
     ids = np.arange(256)
 
-    t0 = time.perf_counter()
-    for _ in range(20):
-        flat.pack(ids, 8192, 20480, 256)
-    t_native = time.perf_counter() - t0
+    def best(f, reps=3, iters=10):
+        b = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                f()
+            b = min(b, time.perf_counter() - t0)
+        return b
 
     sel = [graphs[i] for i in ids]
-    t0 = time.perf_counter()
-    for _ in range(20):
-        G.pack_graphs(sel, 8192, 20480, 256, np_out=True)
-    t_python = time.perf_counter() - t0
-    # informative, not brittle: native must not be slower
+    t_native = best(lambda: flat.pack(ids, 8192, 20480, 256))
+    t_python = best(
+        lambda: G.pack_graphs(sel, 8192, 20480, 256, np_out=True)
+    )
+    # best-of-N so background load can't flip the comparison
     assert t_native < t_python, (t_native, t_python)
 
 
