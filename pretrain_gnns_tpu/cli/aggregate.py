@@ -3,7 +3,17 @@ bio/result_analysis.py over our JSON results.
 
 Model selection rule (chem/parse_result.py:7-20): for each run, report the
 test AUC at the epoch with the highest validation AUC; aggregate mean ± std
-over seeds per (dataset, config).
+over seeds per (dataset, config). Bio runs carry extra test splits
+(test_easy/test_hard via the species protocol, bio/finetune.py:116-119);
+any ``test_*`` curve in a result is reported at the same best-val epoch
+(bio/result_analysis.py:39-53 picks by mean val AUC — identical here since
+our stored val curve is already the per-epoch scalar).
+
+Negative-transfer analysis (bio/result_analysis.py:84-139): for every
+config, per-seed comparison against the ``nopretrain`` runs of the same
+dataset — mean gain and the number of seeds where pre-training *hurt*
+(the paper's negative-transfer count; the reference renders this as
+scatter plots, we emit the counts).
 
   python -m pretrain_gnns_tpu.cli.aggregate --result_dir runs/sweep
 """
@@ -18,6 +28,8 @@ from collections import defaultdict
 
 import numpy as np
 
+_META_KEYS = {"dataset", "config", "val", "test"}
+
 
 def collect(result_dir: str):
     rows = []
@@ -29,49 +41,106 @@ def collect(result_dir: str):
         val = np.asarray(r["val"])
         test = np.asarray(r["test"])
         best = int(np.argmax(val))  # argmax-val-epoch selection
-        rows.append({
+        row = {
             "dataset": r["dataset"],
             "config": r["config"].get("filename") or "default",
             "seed": r["config"].get("runseed", 0),
             "best_epoch": best + 1,
             "val_auc": float(val[best]),
             "test_auc": float(test[best]),
-        })
+        }
+        for k, v in r.items():  # extra splits: test_easy / test_hard / ...
+            if k.startswith("test_") and isinstance(v, list) and v:
+                row[f"{k}_auc"] = float(np.asarray(v)[best])
+        rows.append(row)
     return rows
 
 
 def summarize(rows):
     by = defaultdict(list)
     for r in rows:
-        by[(r["dataset"], r["config"])].append(r["test_auc"])
+        by[(r["dataset"], r["config"])].append(r)
     table = []
-    for (dataset, config), aucs in sorted(by.items()):
-        table.append({
+    for (dataset, config), rs in sorted(by.items()):
+        entry = {
             "dataset": dataset,
             "config": config,
-            "n_seeds": len(aucs),
-            "mean_test_auc": float(np.mean(aucs)),
-            "std_test_auc": float(np.std(aucs)),
-        })
+            "n_seeds": len(rs),
+            "mean_test_auc": float(np.mean([r["test_auc"] for r in rs])),
+            "std_test_auc": float(np.std([r["test_auc"] for r in rs])),
+        }
+        extra_keys = sorted(
+            {k for r in rs for k in r if k.endswith("_auc")
+             and k not in ("val_auc", "test_auc")}
+        )
+        for k in extra_keys:
+            vals = [r[k] for r in rs if k in r]
+            entry[f"mean_{k}"] = float(np.mean(vals))
+            entry[f"std_{k}"] = float(np.std(vals))
+        table.append(entry)
     return table
+
+
+def negative_transfer(rows, baseline: str = "nopretrain"):
+    """Per-seed gain of each config over the baseline config on the same
+    dataset (bio/result_analysis.py:84-139). Returns one entry per
+    (dataset, config != baseline) with mean gain and the count of seeds
+    where the pretrained run scored BELOW the baseline."""
+    base = {
+        (r["dataset"], r["seed"]): r["test_auc"]
+        for r in rows if r["config"] == baseline
+    }
+    by = defaultdict(list)
+    for r in rows:
+        if r["config"] == baseline:
+            continue
+        b = base.get((r["dataset"], r["seed"]))
+        if b is not None:
+            by[(r["dataset"], r["config"])].append(r["test_auc"] - b)
+    out = []
+    for (dataset, config), deltas in sorted(by.items()):
+        out.append({
+            "dataset": dataset,
+            "config": config,
+            "n_pairs": len(deltas),
+            "mean_gain": float(np.mean(deltas)),
+            "negative_transfer_seeds": int(sum(d < 0 for d in deltas)),
+        })
+    return out
 
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--result_dir", default="runs/sweep")
     p.add_argument("--out", default="")
+    p.add_argument("--baseline", default="nopretrain",
+                   help="config name used for negative-transfer pairing")
     args = p.parse_args(argv)
     rows = collect(args.result_dir)
     table = summarize(rows)
     for t in table:
+        extras = " ".join(
+            f"{k[5:]}={t[k]:.4f}" for k in t
+            if k.startswith("mean_test_") and k != "mean_test_auc"
+        )
         print(
             f"{t['dataset']:>12} {t['config']:>24} "
             f"{t['mean_test_auc']:.4f} ± {t['std_test_auc']:.4f} "
-            f"({t['n_seeds']} seeds)"
+            f"({t['n_seeds']} seeds) {extras}"
+        )
+    nt = negative_transfer(rows, args.baseline)
+    for t in nt:
+        print(
+            f"  vs {args.baseline}: {t['dataset']:>12} {t['config']:>24} "
+            f"gain {t['mean_gain']:+.4f}, negative transfer in "
+            f"{t['negative_transfer_seeds']}/{t['n_pairs']} seeds"
         )
     if args.out:
         with open(args.out, "w") as f:
-            json.dump({"runs": rows, "summary": table}, f)
+            json.dump(
+                {"runs": rows, "summary": table, "negative_transfer": nt},
+                f,
+            )
     return table
 
 

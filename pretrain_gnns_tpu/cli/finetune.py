@@ -39,6 +39,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="split seed (bio random split)")
     p.add_argument("--runseed", type=int, default=0,
                    help="init/minibatch seed")
+    p.add_argument("--packing", default="auto",
+                   choices=["auto", "standard", "blocked"],
+                   help="batch layout: auto = block-diagonal (Pallas) on TPU")
     p.add_argument("--split", default="scaffold",
                    choices=["scaffold", "random", "random_scaffold",
                             "species"])
@@ -119,7 +122,7 @@ def main(argv=None):
         graph_pooling=args.graph_pooling, jk=args.jk,
         gnn_type=args.gnn_type, lr=args.lr, lr_scale=args.lr_scale,
         decay=args.decay, batch_size=args.batch_size, epochs=args.epochs,
-        seed=args.seed, runseed=args.runseed,
+        seed=args.seed, runseed=args.runseed, packing=args.packing,
     )
     trunk = load_trunk_any(args.input_model_file) if args.input_model_file \
         else None

@@ -36,6 +36,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--JK", dest="jk", default="last")
     p.add_argument("--gnn_type", default="gin")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--packing", default="auto",
+                   choices=["auto", "standard", "blocked"],
+                   help="batch layout: auto = block-diagonal (Pallas) on TPU")
     p.add_argument("--num_workers", type=int, default=0,
                    help="accepted for reference-CLI parity (unused)")
     # masking
@@ -91,8 +94,12 @@ def _supervised(args, graphs, meta):
     extra_pad = (
         {"center_node_idx": cfg.batch_size} if args.domain == "bio" else None
     )
+    from pretrain_gnns_tpu.data.packing import choose_blocks
+
+    blocks = choose_blocks(graphs, cfg.batch_size, args.packing)
     loader = PackedLoader(graphs, cfg.batch_size, seed=args.seed,
-                          drop_last=True, extra_pad=extra_pad)
+                          drop_last=True, extra_pad=extra_pad,
+                          blocks=blocks)
     sample = next(iter(loader))
     trunk = load_trunk_any(args.input_model_file) \
         if args.input_model_file else None
@@ -141,7 +148,7 @@ def main(argv=None):
             mask_edge=bool(args.mask_edge), csize=args.csize,
             mode=args.mode, neg_samples=args.neg_samples,
             context_pooling=args.context_pooling, l1=args.l1,
-            center=bool(args.center),
+            center=bool(args.center), packing=args.packing,
         )
         res = pretrain.run_pretrain(
             cfg, graphs, log=lambda s: print(s, flush=True),

@@ -22,6 +22,28 @@ from pretrain_gnns_tpu.core.graphs import (
 )
 
 
+def choose_blocks(graphs, batch_size: int, packing: str = "auto"):
+    """Resolve the ``packing`` knob to a block layout (or None = standard
+    padded packing). "auto" uses the block-diagonal layout whenever an
+    accelerator is present (it feeds the Pallas kernels; on CPU the XLA
+    path is equally correct but blocked padding buys nothing)."""
+    if packing == "standard":
+        return None
+    if packing == "blocked":
+        return block_layout(graphs, batch_size, block_nodes=128,
+                            block_edges=384)
+    if packing != "auto":
+        raise ValueError(packing)
+    import jax
+
+    try:
+        on_accel = jax.default_backend() != "cpu"
+    except Exception:
+        on_accel = False
+    return (block_layout(graphs, batch_size, block_nodes=128,
+                         block_edges=384) if on_accel else None)
+
+
 def block_layout(
     graphs: Sequence[Graph],
     batch_size: int,

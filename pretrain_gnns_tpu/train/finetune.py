@@ -18,7 +18,7 @@ import numpy as np
 import optax
 
 from pretrain_gnns_tpu.core.graphs import Graph, PackedGraphs
-from pretrain_gnns_tpu.data.packing import PackedLoader
+from pretrain_gnns_tpu.data.packing import PackedLoader, choose_blocks
 from pretrain_gnns_tpu.models.chem import GNNGraphPred
 from pretrain_gnns_tpu.objectives import losses
 from pretrain_gnns_tpu.train import metrics, optim
@@ -51,6 +51,7 @@ class FinetuneConfig:
     epochs: int = 100
     seed: int = 0  # split seed
     runseed: int = 0  # init / shuffle seed
+    packing: str = "auto"  # auto | standard | blocked (Pallas layout)
     loss_kind: Optional[str] = None  # default: chem masked BCE | bio plain
 
     def __post_init__(self):
@@ -218,13 +219,16 @@ def run_finetune(
     extra_pad = (
         {"center_node_idx": cfg.batch_size} if cfg.domain == "bio" else None
     )
+    all_graphs = (list(train_graphs) + list(valid_graphs)
+                  + list(test_graphs))
+    blocks = choose_blocks(all_graphs, cfg.batch_size, cfg.packing)
     train_loader = PackedLoader(
         train_graphs, cfg.batch_size, shuffle=True, seed=cfg.runseed,
-        extra_pad=extra_pad,
+        extra_pad=extra_pad, blocks=blocks,
     )
     mn, me = train_loader.max_nodes, train_loader.max_edges
     kw = dict(max_nodes=mn, max_edges=me, shuffle=False,
-              extra_pad=extra_pad)
+              extra_pad=extra_pad, blocks=blocks)
     val_loader = PackedLoader(valid_graphs, cfg.batch_size, **kw)
     test_loader = PackedLoader(test_graphs, cfg.batch_size, **kw)
     extra_loaders = {

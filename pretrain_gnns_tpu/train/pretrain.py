@@ -20,7 +20,9 @@ import optax
 from pretrain_gnns_tpu.core.graphs import Graph
 from pretrain_gnns_tpu.data import transforms
 from pretrain_gnns_tpu.data.context_loader import ContextPairLoader
-from pretrain_gnns_tpu.data.packing import PackedLoader, buffer_sizes
+from pretrain_gnns_tpu.data.packing import (
+    PackedLoader, buffer_sizes, choose_blocks,
+)
 from pretrain_gnns_tpu.objectives.contextpred import ContextPredObjective
 from pretrain_gnns_tpu.objectives.edgepred import EdgePredObjective
 from pretrain_gnns_tpu.objectives.infomax import InfomaxObjective
@@ -59,6 +61,8 @@ class PretrainConfig:
     # bio contextpred (bio/pretrain_contextpred.py: --l1 default 1, --center)
     l1: int = 1
     center: bool = True
+    # batch layout: auto = block-diagonal (Pallas kernels) on accelerators
+    packing: str = "auto"  # auto | standard | blocked
 
 
 def build_objective(cfg: PretrainConfig):
@@ -100,6 +104,10 @@ def build_loader(cfg: PretrainConfig, graphs: Sequence[Graph],
     """Dataset pipeline per objective (transform placement mirrors the
     reference's DataLoader workers, SURVEY.md §1)."""
     mn, me = buffer_sizes(graphs, cfg.batch_size)
+    blocks = choose_blocks(graphs, cfg.batch_size, cfg.packing)
+    if blocks is not None:
+        n_blocks, bn, be = blocks
+        mn, me = n_blocks * bn, n_blocks * be
     # bio graphs carry a per-graph center_node_idx extra that must be padded
     base_pad = (
         {"center_node_idx": cfg.batch_size} if cfg.domain == "bio" else {}
@@ -109,6 +117,7 @@ def build_loader(cfg: PretrainConfig, graphs: Sequence[Graph],
         n_masked = int(me // 2 * cfg.mask_rate) + cfg.batch_size + 8
         return PackedLoader(
             graphs, cfg.batch_size, mn, me, seed=cfg.seed, transform=t,
+            blocks=blocks,
             extra_pad={"masked_edge_idx": n_masked,
                        "mask_edge_label": n_masked, **base_pad},
             drop_last=drop_last,
@@ -127,18 +136,18 @@ def build_loader(cfg: PretrainConfig, graphs: Sequence[Graph],
         }
         return PackedLoader(graphs, cfg.batch_size, mn, me, seed=cfg.seed,
                             transform=t, extra_pad=extra_pad,
-                            drop_last=drop_last)
+                            blocks=blocks, drop_last=drop_last)
     if cfg.objective == "edgepred":
         t = transforms.NegativeEdge()
         return PackedLoader(graphs, cfg.batch_size, mn, me, seed=cfg.seed,
                             transform=t,
                             extra_pad={"negative_edges": me // 2,
                                        **base_pad},
-                            drop_last=drop_last)
+                            blocks=blocks, drop_last=drop_last)
     if cfg.objective == "infomax":
         return PackedLoader(graphs, cfg.batch_size, mn, me, seed=cfg.seed,
                             extra_pad=base_pad or None,
-                            drop_last=drop_last)
+                            blocks=blocks, drop_last=drop_last)
     if cfg.objective == "contextpred":
         if cfg.domain == "bio":
             t = transforms.BioExtractSubstructureContextPair(

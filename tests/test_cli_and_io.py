@@ -145,3 +145,41 @@ def test_orbax_checkpoint_resume(tmp_path):
     # restored state continues training
     restored, loss = step(restored, batch)
     assert np.isfinite(float(loss))
+
+
+def test_aggregate_extra_splits_and_negative_transfer(tmp_path):
+    """bio test_easy/test_hard columns + negative-transfer counts
+    (bio/result_analysis.py:39-81, 84-139)."""
+    import json
+    from pretrain_gnns_tpu.cli import aggregate
+
+    def write(config, seed, val, test, hard=None):
+        d = tmp_path / f"{config}_{seed}"
+        d.mkdir()
+        r = {"dataset": "bio", "config": {"filename": config,
+                                          "runseed": seed},
+             "val": val, "test": test}
+        if hard is not None:
+            r["test_hard"] = hard
+        (d / "result.json").write_text(json.dumps(r))
+
+    # best val epoch = 2 (0-indexed 1)
+    write("nopretrain", 0, [0.5, 0.7, 0.6], [0.60, 0.62, 0.5], [0.5, 0.55, 0.4])
+    write("nopretrain", 1, [0.5, 0.7, 0.6], [0.60, 0.64, 0.5], [0.5, 0.56, 0.4])
+    write("masking", 0, [0.5, 0.8, 0.6], [0.60, 0.70, 0.5], [0.5, 0.60, 0.4])
+    write("masking", 1, [0.5, 0.8, 0.6], [0.60, 0.61, 0.5], [0.5, 0.50, 0.4])
+
+    rows = aggregate.collect(str(tmp_path))
+    assert all(r["best_epoch"] == 2 for r in rows)
+    table = aggregate.summarize(rows)
+    masking = next(t for t in table if t["config"] == "masking")
+    assert abs(masking["mean_test_auc"] - 0.655) < 1e-9
+    assert abs(masking["mean_test_hard_auc"] - 0.55) < 1e-9
+
+    nt = aggregate.negative_transfer(rows)
+    assert len(nt) == 1
+    t = nt[0]
+    # seed 0: +0.08 gain; seed 1: -0.03 -> one negative-transfer seed
+    assert t["n_pairs"] == 2
+    assert t["negative_transfer_seeds"] == 1
+    assert abs(t["mean_gain"] - (0.08 - 0.03) / 2) < 1e-9
