@@ -36,6 +36,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--JK", dest="jk", default="last")
     p.add_argument("--gnn_type", default="gin")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--dp_devices", type=int, default=1,
+                   help="data-parallel devices (0 = all local devices)")
     p.add_argument("--packing", default="auto",
                    choices=["auto", "standard", "blocked"],
                    help="batch layout: auto = block-diagonal (Pallas) on TPU")
@@ -149,6 +151,7 @@ def main(argv=None):
             mode=args.mode, neg_samples=args.neg_samples,
             context_pooling=args.context_pooling, l1=args.l1,
             center=bool(args.center), packing=args.packing,
+            dp_devices=args.dp_devices,
         )
         res = pretrain.run_pretrain(
             cfg, graphs, log=lambda s: print(s, flush=True),

@@ -109,6 +109,69 @@ def make_dp_train_step(
     return jax.jit(sharded)
 
 
+def make_dp_pretrain_step(
+    model: Any,
+    tx: optax.GradientTransformation,
+    mesh: Mesh,
+    axis: str = "data",
+):
+    """Data-parallel version of train.pretrain.make_pretrain_step: the
+    objective module computes (loss, metrics) per device over its local
+    batch (or batch tuple, for contextpred); grads are psum-averaged,
+    BN stats pmean-synced, metrics pmean'd. Works for every SSL objective
+    because the objective IS the model's forward."""
+
+    def per_device(state: TrainState, *batch):
+        batch = tuple(
+            jax.tree_util.tree_map(lambda x: x[0], b) for b in batch
+        )
+        my_idx = jax.lax.axis_index(axis)
+        rng = jax.random.fold_in(state.rng, my_idx)
+        _, drop_rng = jax.random.split(rng)
+
+        def loss_fn(params):
+            (loss, metrics), mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                *batch,
+                train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": drop_rng},
+            )
+            return loss, (metrics, mutated)
+
+        (loss, (metrics, mutated)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        n_dev = mesh.shape[axis]
+        grads = jax.tree_util.tree_map(lambda g: g / n_dev, grads)
+        loss = jax.lax.pmean(loss, axis)
+        metrics = jax.tree_util.tree_map(
+            lambda m: jax.lax.pmean(m, axis), metrics
+        )
+        stats = jax.lax.pmean(mutated["batch_stats"], axis)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=params,
+            batch_stats=stats,
+            opt_state=opt_state,
+            rng=jax.random.split(state.rng)[0],
+        )
+        return new_state, loss, metrics
+
+    def wrapper(state, *batch):
+        sharded = shard_map(
+            per_device,
+            mesh=mesh,
+            in_specs=(P(),) + (P(axis),) * len(batch),
+            out_specs=(P(), P(), P()),
+        )
+        return sharded(state, *batch)
+
+    return jax.jit(wrapper)
+
+
 def make_dp_eval_step(model: Any, mesh: Mesh, axis: str = "data"):
     """Data-parallel forward: returns per-device logits stacked on the
     leading axis (same layout as the input batch)."""

@@ -63,6 +63,9 @@ class PretrainConfig:
     center: bool = True
     # batch layout: auto = block-diagonal (Pallas kernels) on accelerators
     packing: str = "auto"  # auto | standard | blocked
+    # graph-data parallelism: devices in the mesh's "data" axis
+    # (0 = all local devices, 1 = single-device)
+    dp_devices: int = 1
 
 
 def build_objective(cfg: PretrainConfig):
@@ -219,7 +222,21 @@ def run_pretrain(
         variables = dict(variables, batch_stats={})
     tx = optim.adam(cfg.lr, cfg.decay)
     state = TrainState.create(variables, tx, rng)
-    step = make_pretrain_step(model, tx)
+    n_dev = cfg.dp_devices if cfg.dp_devices > 0 else jax.device_count()
+    mesh = None
+    if n_dev > 1:
+        from pretrain_gnns_tpu.parallel import dp
+        from pretrain_gnns_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_dev)
+        step = dp.make_dp_pretrain_step(model, tx, mesh)
+        state = jax.device_put(
+            state, jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec()
+            )
+        )
+    else:
+        step = make_pretrain_step(model, tx)
 
     mgr = None
     start_epoch = 1
@@ -241,7 +258,33 @@ def run_pretrain(
     for epoch in range(start_epoch, (epochs or cfg.epochs) + 1):
         tot, nb = 0.0, 0
         agg: Dict[str, float] = {}
-        for item in loader:
+        items = iter(loader)
+        if mesh is not None:
+            from pretrain_gnns_tpu.parallel import dp
+
+            def grouped(it):
+                """n_dev consecutive local batches -> one sharded global
+                batch per tuple element (leftovers dropped)."""
+                while True:
+                    group = []
+                    for _ in range(n_dev):
+                        nxt = next(it, None)
+                        if nxt is None:
+                            return
+                        group.append(
+                            nxt if isinstance(nxt, tuple) else (nxt,)
+                        )
+                    stacked = tuple(
+                        dp.shard_global_batch(
+                            dp.stack_local_batches([g[i] for g in group]),
+                            mesh,
+                        )
+                        for i in range(len(group[0]))
+                    )
+                    yield stacked
+
+            items = grouped(items)
+        for item in items:
             batch = item if isinstance(item, tuple) else (item,)
             state, loss, metrics = step(state, *batch)
             tot += float(loss)
