@@ -180,6 +180,20 @@ def create_standardized_mol_id(smiles: str) -> Optional[str]:
     return AllChem.MolToInchi(mol)
 
 
+def get_gasteiger_partial_charges(mol, n_iter: int = 12):
+    """Per-atom Gasteiger partial charges (chem/loader.py:223-237):
+    computes charges in place and returns the float list."""
+    Chem, _ = _rdkit()
+    from rdkit.Chem import rdPartialCharges
+
+    rdPartialCharges.ComputeGasteigerCharges(
+        mol, nIter=n_iter, throwOnParamFailure=True
+    )
+    return [
+        float(a.GetProp("_GasteigerCharge")) for a in mol.GetAtoms()
+    ]
+
+
 def morgan_fingerprint(mol, radius: int = 2, size: int = 2048) -> np.ndarray:
     """Circular fingerprint bits (MoleculeFingerprintDataset analogue,
     chem/loader.py:792-925)."""
