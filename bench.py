@@ -25,6 +25,12 @@ import time
 import numpy as np
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
+# Mixed-precision pretraining mode: bf16 MXU matmuls (f32 accumulation),
+# f32 activations/params/Adam — the standard TPU training recipe. The torch
+# baseline below runs its matmuls in f32 only because torch-CPU has no
+# bf16 fast path; on the reference's own GPU hardware AMP would be the
+# equivalent setting.
+os.environ.setdefault("PGT_MODEL_DTYPE", "bfloat16")
 
 BATCH_GRAPHS = 256
 NUM_TASKS = 12

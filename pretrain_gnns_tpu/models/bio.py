@@ -46,7 +46,7 @@ def _input_embed(mod: nn.Module, x: jnp.ndarray, dim: int):
     emb = mod.param(
         "input_node_embeddings", inits.xavier_uniform, (2, dim)
     )
-    return inits.embed(emb, x[:, 0].astype(jnp.int32))
+    return inits.downcast(inits.embed(emb, x[:, 0].astype(jnp.int32)))
 
 
 class GINConv(nn.Module):
@@ -58,17 +58,18 @@ class GINConv(nn.Module):
     @nn.compact
     def __call__(self, h, g: PackedGraphs, train: bool = False):
         D = self.emb_dim
-        e, e_self = _edge_encode_lazy(self, g.edge_feat, D)
+        ein, W, e_self = _edge_encode_fused(self, g.edge_feat, D)
         if self.input_layer:
             h = _input_embed(self, h, D)
             h = h * g.node_mask[:, None]
         aggr = spmm.gather_scatter(
-            h, e, g.senders, g.receivers, g.edge_mask, g.max_nodes,
+            h, None, g.senders, g.receivers, g.edge_mask, g.max_nodes,
             combine="concat",
             block_nodes=g.block_nodes, block_edges=g.block_edges,
+            edge_in=ein, edge_kernel=W,
         )
         self_msg = jnp.concatenate(
-            [h, jnp.broadcast_to(e_self, h.shape)], axis=-1
+            [h, jnp.broadcast_to(e_self.astype(h.dtype), h.shape)], axis=-1
         )
         aggr = aggr + self_msg * g.node_mask[:, None]
         z = inits.dense(2 * D, 2 * D, "mlp_0")(aggr)
@@ -89,6 +90,23 @@ def _edge_encode_lazy(mod, edge_feat, dim):
     return e, kernel[SELF_LOOP_DIM] + bias
 
 
+def _edge_encode_fused(mod, edge_feat, dim):
+    """The same Linear(9 -> dim) encoder in fused form for the Pallas SpMM:
+    ``ein = [edge_feat | 1]`` and ``W = [kernel; bias]`` so that
+    ``ein @ W == edge_feat @ kernel + bias`` exactly; the embedding never
+    materializes in HBM on the kernel path."""
+    enc = inits.dense(dim, EDGE_FEAT_DIM, "edge_encoder")
+    enc(jnp.zeros((1, EDGE_FEAT_DIM), jnp.float32))  # create params only
+    kernel = mod.get_variable("params", "edge_encoder")["kernel"]
+    bias = mod.get_variable("params", "edge_encoder")["bias"]
+    ein = jnp.concatenate(
+        [edge_feat.astype(kernel.dtype),
+         jnp.ones((edge_feat.shape[0], 1), kernel.dtype)], axis=1
+    )
+    W = jnp.concatenate([kernel, bias[None, :]], axis=0)
+    return ein, W, kernel[SELF_LOOP_DIM] + bias
+
+
 class GCNConv(nn.Module):
     """bio/model.py:61-114."""
 
@@ -97,7 +115,7 @@ class GCNConv(nn.Module):
 
     @nn.compact
     def __call__(self, h, g: PackedGraphs, train: bool = False):
-        e, e_self = _edge_encode_lazy(self, g.edge_feat, self.emb_dim)
+        ein, W, e_self = _edge_encode_fused(self, g.edge_feat, self.emb_dim)
         if self.input_layer:
             h = _input_embed(self, h, self.emb_dim)
             h = h * g.node_mask[:, None]
@@ -106,12 +124,14 @@ class GCNConv(nn.Module):
         norm = jnp.take(dis, g.receivers) * jnp.take(dis, g.senders)
         x = inits.dense(self.emb_dim, self.emb_dim, "linear")(h)
         aggr = spmm.gather_scatter(
-            x, e, g.senders, g.receivers, g.edge_mask, g.max_nodes,
+            x, None, g.senders, g.receivers, g.edge_mask, g.max_nodes,
             edge_weight=norm,
             block_nodes=g.block_nodes, block_edges=g.block_edges,
+            edge_in=ein, edge_kernel=W,
         )
         self_w = (dis * dis)[:, None] * g.node_mask[:, None]
-        return aggr + self_w * (x + e_self)
+        self_term = self_w * (x.astype(jnp.float32) + e_self)
+        return aggr + self_term.astype(aggr.dtype)
 
 
 class GATConv(nn.Module):
@@ -133,7 +153,9 @@ class GATConv(nn.Module):
         e_self = e_self_flat.reshape(H, D)
         att = self.param("att", inits.pyg_glorot, (1, H, 2 * D))
         bias = self.param("bias", nn.initializers.zeros, (D,))
-        x = inits.dense(H * D, D, "weight_linear")(h).reshape(-1, H, D)
+        # attention runs in f32 (logit stability), as in chem
+        x = inits.dense(H * D, D, "weight_linear")(h)
+        x = x.astype(jnp.float32).reshape(-1, H, D)
         a_i, a_j = att[..., :D], att[..., D:]
 
         out = attention.gat_attention(
@@ -152,20 +174,21 @@ class SAGEConv(nn.Module):
 
     @nn.compact
     def __call__(self, h, g: PackedGraphs, train: bool = False):
-        e, e_self = _edge_encode_lazy(self, g.edge_feat, self.emb_dim)
+        ein, W, e_self = _edge_encode_fused(self, g.edge_feat, self.emb_dim)
         if self.input_layer:
             h = _input_embed(self, h, self.emb_dim)
             h = h * g.node_mask[:, None]
         x = inits.dense(self.emb_dim, self.emb_dim, "linear")(h)
         s = spmm.gather_scatter(
-            x, e, g.senders, g.receivers, g.edge_mask, g.max_nodes,
+            x, None, g.senders, g.receivers, g.edge_mask, g.max_nodes,
             block_nodes=g.block_nodes, block_edges=g.block_edges,
+            edge_in=ein, edge_kernel=W,
         )
-        s = s + (x + e_self) * g.node_mask[:, None]
+        s = s + (x + e_self.astype(x.dtype)) * g.node_mask[:, None]
         deg = g.in_degree(include_self_loop=True).astype(jnp.float32)
-        mean = s / jnp.maximum(deg, 1.0)[:, None]
+        mean = s.astype(jnp.float32) / jnp.maximum(deg, 1.0)[:, None]
         norm = jnp.sqrt(jnp.sum(jnp.square(mean), axis=-1, keepdims=True))
-        return mean / jnp.maximum(norm, 1e-12)
+        return (mean / jnp.maximum(norm, 1e-12)).astype(s.dtype)
 
 
 _CONVS = {"gin": GINConv, "gcn": GCNConv, "gat": GATConv,

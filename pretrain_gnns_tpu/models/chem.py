@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -56,6 +57,30 @@ def _edge_embed(mod: nn.Module, edge_feat: jnp.ndarray, dim: int):
     return e, e_self
 
 
+def _edge_embed_fused(mod: nn.Module, edge_feat: jnp.ndarray, dim: int):
+    """Same embeddings in fused form for the Pallas SpMM: per-edge one-hot
+    bond features ``ein`` [E, 9] and the stacked tables ``W = [e1; e2]``,
+    so that ``ein @ W == Embed(bond_type) + Embed(bond_dir)`` exactly."""
+    e1 = mod.param(
+        "edge_embedding1", inits.xavier_uniform, (NUM_BOND_TYPE, dim)
+    )
+    e2 = mod.param(
+        "edge_embedding2", inits.xavier_uniform, (NUM_BOND_DIRECTION, dim)
+    )
+    ein = jnp.concatenate(
+        [
+            jax.nn.one_hot(edge_feat[:, 0], NUM_BOND_TYPE, dtype=e1.dtype),
+            jax.nn.one_hot(
+                edge_feat[:, 1], NUM_BOND_DIRECTION, dtype=e1.dtype
+            ),
+        ],
+        axis=1,
+    )
+    W = jnp.concatenate([e1, e2], axis=0)
+    e_self = e1[SELF_LOOP_BOND_TYPE] + e2[0]
+    return ein, W, e_self
+
+
 class GINConv(nn.Module):
     """chem/model.py:15-55."""
 
@@ -63,12 +88,13 @@ class GINConv(nn.Module):
 
     @nn.compact
     def __call__(self, h: jnp.ndarray, g: PackedGraphs) -> jnp.ndarray:
-        e, e_self = _edge_embed(self, g.edge_feat, self.emb_dim)
+        ein, W, e_self = _edge_embed_fused(self, g.edge_feat, self.emb_dim)
         aggr = spmm.gather_scatter(
-            h, e, g.senders, g.receivers, g.edge_mask, g.max_nodes,
+            h, None, g.senders, g.receivers, g.edge_mask, g.max_nodes,
             block_nodes=g.block_nodes, block_edges=g.block_edges,
+            edge_in=ein, edge_kernel=W,
         )
-        aggr = aggr + (h + e_self) * g.node_mask[:, None]
+        aggr = aggr + (h + e_self.astype(h.dtype)) * g.node_mask[:, None]
         # mlp.{0,2} naming mirrors the torch Sequential (chem/model.py:29)
         z = inits.dense(2 * self.emb_dim, self.emb_dim, "mlp_0")(aggr)
         z = nn.relu(z)
@@ -83,18 +109,20 @@ class GCNConv(nn.Module):
 
     @nn.compact
     def __call__(self, h: jnp.ndarray, g: PackedGraphs) -> jnp.ndarray:
-        e, e_self = _edge_embed(self, g.edge_feat, self.emb_dim)
-        deg = g.in_degree(include_self_loop=True).astype(h.dtype)
+        ein, W, e_self = _edge_embed_fused(self, g.edge_feat, self.emb_dim)
+        deg = g.in_degree(include_self_loop=True).astype(jnp.float32)
         dis = jnp.where(deg > 0, jnp.where(deg > 0, deg, 1.0) ** -0.5, 0.0)
         norm = jnp.take(dis, g.receivers) * jnp.take(dis, g.senders)
         x = inits.dense(self.emb_dim, self.emb_dim, "linear")(h)
         aggr = spmm.gather_scatter(
-            x, e, g.senders, g.receivers, g.edge_mask, g.max_nodes,
+            x, None, g.senders, g.receivers, g.edge_mask, g.max_nodes,
             edge_weight=norm,
             block_nodes=g.block_nodes, block_edges=g.block_edges,
+            edge_in=ein, edge_kernel=W,
         )
         self_w = (dis * dis)[:, None] * g.node_mask[:, None]
-        return aggr + self_w * (x + e_self)
+        self_term = self_w * (x.astype(jnp.float32) + e_self)
+        return aggr + self_term.astype(aggr.dtype)
 
 
 class GATConv(nn.Module):
@@ -114,7 +142,10 @@ class GATConv(nn.Module):
         att = self.param("att", inits.pyg_glorot, (1, H, 2 * D))
         bias = self.param("bias", nn.initializers.zeros, (D,))
 
-        x = inits.dense(H * D, D, "weight_linear")(h).reshape(-1, H, D)
+        # attention runs in f32 (logit stability); mixed precision applies
+        # to the message-passing convs, not the 2-head attention path
+        x = inits.dense(H * D, D, "weight_linear")(h)
+        x = x.astype(jnp.float32).reshape(-1, H, D)
         a_i, a_j = att[..., :D], att[..., D:]  # [1, H, D] each
 
         out = attention.gat_attention(
@@ -133,17 +164,19 @@ class SAGEConv(nn.Module):
 
     @nn.compact
     def __call__(self, h: jnp.ndarray, g: PackedGraphs) -> jnp.ndarray:
-        e, e_self = _edge_embed(self, g.edge_feat, self.emb_dim)
+        ein, W, e_self = _edge_embed_fused(self, g.edge_feat, self.emb_dim)
         x = inits.dense(self.emb_dim, self.emb_dim, "linear")(h)
         s = spmm.gather_scatter(
-            x, e, g.senders, g.receivers, g.edge_mask, g.max_nodes,
+            x, None, g.senders, g.receivers, g.edge_mask, g.max_nodes,
             block_nodes=g.block_nodes, block_edges=g.block_edges,
+            edge_in=ein, edge_kernel=W,
         )
-        s = s + (x + e_self) * g.node_mask[:, None]
-        deg = g.in_degree(include_self_loop=True).astype(h.dtype)
-        mean = s / jnp.maximum(deg, 1.0)[:, None]
+        s = s + (x + e_self.astype(x.dtype)) * g.node_mask[:, None]
+        deg = g.in_degree(include_self_loop=True).astype(jnp.float32)
+        mean = s.astype(jnp.float32) / jnp.maximum(deg, 1.0)[:, None]
         norm = jnp.sqrt(jnp.sum(jnp.square(mean), axis=-1, keepdims=True))
-        return mean / jnp.maximum(norm, 1e-12)  # torch F.normalize eps
+        # torch F.normalize eps; computed in f32, returned in compute dtype
+        return (mean / jnp.maximum(norm, 1e-12)).astype(s.dtype)
 
 
 _CONVS = {"gin": GINConv, "gcn": GCNConv, "gat": GATConv,
@@ -177,6 +210,7 @@ class GNN(nn.Module):
             emb2, g.node_feat[:, 1]
         )
         x = x * g.node_mask[:, None]  # keep padded rows exactly zero
+        x = inits.downcast(x)  # activations flow in the compute dtype
 
         conv_cls = _CONVS[self.gnn_type]
         h_list = [x]

@@ -22,17 +22,24 @@ from flax import linen as nn
 
 xavier_uniform = nn.initializers.xavier_uniform()
 
-# Mixed-precision knob for the dense/MLP matmuls (the MXU hot path):
-# parameters stay float32; with "bfloat16" the matmul inputs are cast to
-# bf16 (f32 accumulation on the MXU) and the activations are returned in
-# f32. Default f32 for reference parity; the bench and large-scale
-# pretraining opt into bf16 (PGT_MODEL_DTYPE=bfloat16).
+# Mixed-precision knob (PGT_MODEL_DTYPE):
+# - "float32"      reference parity (default).
+# - "bfloat16"     dense/MLP matmuls compute in bf16 on the MXU (f32
+#                  accumulation), activations stay f32. Profiled fastest on
+#                  v5e for the GIN-5/300 workload: the matmul FLOPs halve
+#                  while the elementwise/BN chain keeps full precision and
+#                  no convert passes are inserted between layers.
+# - "bfloat16_act" activations flow in bf16 end-to-end (params, BN stats,
+#                  Adam state, losses stay f32). Halves activation HBM
+#                  traffic; on the molecule workload the extra converts at
+#                  the BN boundaries outweighed the savings, so this is
+#                  opt-in for bandwidth-bound (giant-graph) regimes.
 _DENSE_DTYPE = os.environ.get("PGT_MODEL_DTYPE", "float32")
 
 
 def set_compute_dtype(name: str) -> None:
     global _DENSE_DTYPE
-    if name not in ("float32", "bfloat16"):
+    if name not in ("float32", "bfloat16", "bfloat16_act"):
         raise ValueError(name)
     _DENSE_DTYPE = name
 
@@ -75,8 +82,18 @@ def embed(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
     return oh @ table
 
 
+def activation_dtype():
+    """Dtype activations flow in under the mixed-precision knob."""
+    return jnp.bfloat16 if _DENSE_DTYPE == "bfloat16_act" else jnp.float32
+
+
+def downcast(x: jnp.ndarray) -> jnp.ndarray:
+    """Cast an activation to the compute dtype (no-op outside _act mode)."""
+    return x.astype(activation_dtype())
+
+
 class _DenseMixed(nn.Dense):
-    """Dense that computes in ``_DENSE_DTYPE`` but returns float32."""
+    """Dense that computes in bf16 but returns float32."""
 
     @nn.compact
     def __call__(self, x):
@@ -85,14 +102,13 @@ class _DenseMixed(nn.Dense):
 
 def dense(features: int, fan_in: int, name: str, use_bias: bool = True):
     """A flax Dense with torch-default init (see module docstring).
-    Computation dtype follows the mixed-precision knob above."""
-    bf16 = _DENSE_DTYPE == "bfloat16"
-    cls = _DenseMixed if bf16 else nn.Dense
+    Computation and output dtype follow the mixed-precision knob above."""
+    cls = _DenseMixed if _DENSE_DTYPE == "bfloat16" else nn.Dense
     return cls(
         features,
         use_bias=use_bias,
         kernel_init=torch_linear_kernel,
         bias_init=torch_linear_bias(fan_in),
-        dtype=jnp.bfloat16 if bf16 else None,
+        dtype=None if _DENSE_DTYPE == "float32" else jnp.bfloat16,
         name=name,
     )

@@ -42,18 +42,20 @@ class MaskedBatchNorm(nn.Module):
             "batch_stats", "var", lambda: jnp.ones(self.features)
         )
 
+        in_dtype = x.dtype
+        xf = x.astype(jnp.float32)  # statistics always in f32
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
             if mask is None:
-                n = jnp.asarray(x.shape[0], x.dtype)
-                mean = jnp.mean(x, axis=0)
-                var = jnp.mean(jnp.square(x - mean), axis=0)
+                n = jnp.asarray(xf.shape[0], jnp.float32)
+                mean = jnp.mean(xf, axis=0)
+                var = jnp.mean(jnp.square(xf - mean), axis=0)
             else:
-                m = mask.astype(x.dtype)[:, None]
+                m = mask.astype(jnp.float32)[:, None]
                 n = jnp.maximum(jnp.sum(m), 1.0)
-                mean = jnp.sum(x * m, axis=0) / n
-                var = jnp.sum(jnp.square(x - mean) * m, axis=0) / n
+                mean = jnp.sum(xf * m, axis=0) / n
+                var = jnp.sum(jnp.square(xf - mean) * m, axis=0) / n
             if not self.is_initializing():
                 unbiased = var * n / jnp.maximum(n - 1.0, 1.0)
                 ra_mean.value = (
@@ -64,5 +66,5 @@ class MaskedBatchNorm(nn.Module):
                     + self.momentum * unbiased
                 )
 
-        y = (x - mean) * jnp.reciprocal(jnp.sqrt(var + self.eps))
-        return y * scale + bias
+        y = (xf - mean) * jnp.reciprocal(jnp.sqrt(var + self.eps))
+        return (y * scale + bias).astype(in_dtype)

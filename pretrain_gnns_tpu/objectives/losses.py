@@ -12,7 +12,10 @@ import jax.numpy as jnp
 
 def bce_with_logits(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
     """Elementwise binary cross-entropy on logits (torch
-    BCEWithLogitsLoss(reduction="none"); numerically stable form)."""
+    BCEWithLogitsLoss(reduction="none"); numerically stable form).
+    Always evaluated in f32 (mixed-precision models emit bf16 logits)."""
+    logits = logits.astype(jnp.float32)
+    targets = targets.astype(jnp.float32)
     return (
         jnp.maximum(logits, 0.0)
         - logits * targets
@@ -57,6 +60,7 @@ def masked_softmax_xent(
     """Cross-entropy averaged over valid rows (torch CrossEntropyLoss
     default mean reduction; used by masking pretrain heads,
     chem/pretrain_masking.py:48-64)."""
+    logits = logits.astype(jnp.float32)
     logz = jax.nn.logsumexp(logits, axis=-1)
     ll = jnp.take_along_axis(logits, labels[:, None], axis=-1)[:, 0] - logz
     m = mask.astype(ll.dtype)

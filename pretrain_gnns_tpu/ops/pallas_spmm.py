@@ -32,6 +32,7 @@ degree data in this framework, never a parameter).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -49,6 +50,17 @@ except Exception:  # pragma: no cover
 
 def _round_up(v: int, m: int) -> int:
     return (v + m - 1) // m * m
+
+
+# Lane padding policy for the feature dim. Mosaic handles non-128-multiple
+# trailing dims by masking inside VMEM; materializing the pad in HBM
+# (jnp.pad + slice on every call) showed up as ~10% of device time in the
+# train-step profile, so the default is to pass features unpadded.
+_NOPAD = os.environ.get("PGT_SPMM_NOPAD", "1") == "1"
+
+
+def _fp(f: int) -> int:
+    return f if _NOPAD else _round_up(f, 128)
 
 
 def _pad_f(a: jnp.ndarray, fp: int) -> jnp.ndarray:
@@ -94,7 +106,7 @@ def _fwd_kernel(has_ee, block_nodes, block_edges, compute_dtype,
     out_ref[:] = jnp.dot(
         R.T, msg.astype(compute_dtype),
         preferred_element_type=jnp.float32, precision=prec,
-    )
+    ).astype(out_ref.dtype)
 
 
 def _bwd_kernel(block_nodes, block_edges, compute_dtype,
@@ -113,12 +125,12 @@ def _bwd_kernel(block_nodes, block_edges, compute_dtype,
         R, g_ref[:].astype(compute_dtype),
         preferred_element_type=jnp.float32, precision=prec,
     ) * w[:, None]
-    dmsg_ref[:] = dmsg
+    dmsg_ref[:] = dmsg.astype(dmsg_ref.dtype)
     S = (snd[:, None] == node_ids).astype(compute_dtype)
     dx_ref[:] = jnp.dot(
         S.T, dmsg.astype(compute_dtype),
         preferred_element_type=jnp.float32, precision=prec,
-    )
+    ).astype(dx_ref.dtype)
 
 
 def _reshape_idx(a: jnp.ndarray, n_blocks: int, block_edges: int):
@@ -133,7 +145,7 @@ def _call_fwd(x, ee, snd, rcv, w, block_nodes, block_edges, compute_dtype,
     E = snd.shape[0]
     n_blocks = N // block_nodes
     assert E == n_blocks * block_edges, (E, n_blocks, block_edges)
-    FP = _round_up(F, 128)
+    FP = _fp(F)
     xp = _pad_f(x, FP)
     has_ee = ee is not None
     args = [
@@ -162,7 +174,7 @@ def _call_fwd(x, ee, snd, rcv, w, block_nodes, block_edges, compute_dtype,
         out_specs=pl.BlockSpec(
             (block_nodes, FP), lambda b: (b, 0), **_vmem()
         ),
-        out_shape=jax.ShapeDtypeStruct((N, FP), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((N, FP), x.dtype),
         interpret=interpret,
     )(*args)
     return out[:, :F]
@@ -173,7 +185,7 @@ def _call_bwd(g, snd, rcv, w, block_nodes, block_edges, compute_dtype,
     N, F = g.shape
     E = snd.shape[0]
     n_blocks = N // block_nodes
-    FP = _round_up(F, 128)
+    FP = _fp(F)
     gp = _pad_f(g, FP)
     dx, dmsg = pl.pallas_call(
         functools.partial(
@@ -191,8 +203,8 @@ def _call_bwd(g, snd, rcv, w, block_nodes, block_edges, compute_dtype,
             pl.BlockSpec((block_edges, FP), lambda b: (b, 0), **_vmem()),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((N, FP), jnp.float32),
-            jax.ShapeDtypeStruct((E, FP), jnp.float32),
+            jax.ShapeDtypeStruct((N, FP), g.dtype),
+            jax.ShapeDtypeStruct((E, FP), g.dtype),
         ],
         interpret=interpret,
     )(
@@ -241,6 +253,223 @@ def _spmm_bwd(block_nodes, block_edges, compute_dtype, interpret,
 
 
 blocked_spmm.defvjp(_spmm_fwd, _spmm_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused edge-transform SpMM: out[r] = sum_e w[e] * (x[snd[e]] + (ein @ W)[e])
+#
+# The per-edge embedding/encoding never touches HBM: the reference's
+# Embed(bond_type) + Embed(bond_dir) (chem/model.py:47) is one matmul of a
+# tiny one-hot block against the stacked tables W = [e1; e2] (9 x F), and
+# the bio Linear(9->F) edge encoder (bio/model.py:27,47) is ein @ [K; b]
+# with a ones column. Compared to ``blocked_spmm`` with a precomputed
+# ``edge_emb``, this removes an [E, F] HBM round-trip per layer in the
+# forward AND the [E, F] ``dmsg`` materialization in the backward — dW is
+# accumulated across grid steps inside the kernel (sequential TPU grid).
+# ---------------------------------------------------------------------------
+def _fused_fwd_kernel(has_x, block_nodes, block_edges, compute_dtype,
+                      snd_ref, rcv_ref, w_ref, ein_ref, W_ref, *rest):
+    if has_x:
+        x_ref, out_ref = rest
+    else:
+        (out_ref,) = rest
+    b = pl.program_id(0)
+    base = b * block_nodes
+    rcv = rcv_ref[0, 0, :] - base
+    w = w_ref[0, 0, :]
+    node_ids = jax.lax.broadcasted_iota(
+        jnp.int32, (block_edges, block_nodes), 1
+    )
+    prec = _precision(compute_dtype)
+    msg = jnp.dot(
+        ein_ref[:].astype(compute_dtype), W_ref[:].astype(compute_dtype),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    if has_x:
+        snd = snd_ref[0, 0, :] - base
+        S = (snd[:, None] == node_ids).astype(compute_dtype)
+        msg = msg + jnp.dot(
+            S, x_ref[:].astype(compute_dtype),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+    msg = msg * w[:, None]
+    R = (rcv[:, None] == node_ids).astype(compute_dtype)
+    out_ref[:] = jnp.dot(
+        R.T, msg.astype(compute_dtype),
+        preferred_element_type=jnp.float32, precision=prec,
+    ).astype(out_ref.dtype)
+
+
+def _fused_bwd_kernel(has_x, block_nodes, block_edges, compute_dtype,
+                      snd_ref, rcv_ref, w_ref, ein_ref, g_ref, *rest):
+    if has_x:
+        dx_ref, dw_ref = rest
+    else:
+        (dw_ref,) = rest
+    b = pl.program_id(0)
+    base = b * block_nodes
+    rcv = rcv_ref[0, 0, :] - base
+    w = w_ref[0, 0, :]
+    node_ids = jax.lax.broadcasted_iota(
+        jnp.int32, (block_edges, block_nodes), 1
+    )
+    prec = _precision(compute_dtype)
+    R = (rcv[:, None] == node_ids).astype(compute_dtype)
+    dmsg = jnp.dot(
+        R, g_ref[:].astype(compute_dtype),
+        preferred_element_type=jnp.float32, precision=prec,
+    ) * w[:, None]
+    if has_x:
+        snd = snd_ref[0, 0, :] - base
+        S = (snd[:, None] == node_ids).astype(compute_dtype)
+        dx_ref[:] = jnp.dot(
+            S.T, dmsg.astype(compute_dtype),
+            preferred_element_type=jnp.float32, precision=prec,
+        ).astype(dx_ref.dtype)
+
+    # dW = sum over blocks of ein^T @ dmsg, accumulated across the
+    # (sequential) grid into a single output block.
+    @pl.when(b == 0)
+    def _():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+
+    dw_ref[:] += jnp.dot(
+        ein_ref[:].T.astype(compute_dtype), dmsg.astype(compute_dtype),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+
+
+def _fused_call_fwd(x, ein, W, snd, rcv, w, block_nodes, block_edges,
+                    compute_dtype, interpret, has_x):
+    K, F = W.shape
+    E = snd.shape[0]
+    n_blocks = E // block_edges
+    FP = _fp(F)
+    Wp = _pad_f(W, FP)
+    N = x.shape[0] if has_x else n_blocks * block_nodes
+    args = [
+        _reshape_idx(snd, n_blocks, block_edges),
+        _reshape_idx(rcv, n_blocks, block_edges),
+        _reshape_idx(w.astype(jnp.float32), n_blocks, block_edges),
+        ein,
+        Wp,
+    ]
+    in_specs = [
+        pl.BlockSpec((1, 1, block_edges), lambda b: (b, 0, 0), **_vmem()),
+        pl.BlockSpec((1, 1, block_edges), lambda b: (b, 0, 0), **_vmem()),
+        pl.BlockSpec((1, 1, block_edges), lambda b: (b, 0, 0), **_vmem()),
+        pl.BlockSpec((block_edges, K), lambda b: (b, 0), **_vmem()),
+        pl.BlockSpec((K, FP), lambda b: (0, 0), **_vmem()),
+    ]
+    if has_x:
+        args.append(_pad_f(x, FP))
+        in_specs.append(
+            pl.BlockSpec((block_nodes, FP), lambda b: (b, 0), **_vmem())
+        )
+    out = pl.pallas_call(
+        functools.partial(
+            _fused_fwd_kernel, has_x, block_nodes, block_edges, compute_dtype
+        ),
+        grid=(n_blocks,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (block_nodes, FP), lambda b: (b, 0), **_vmem()
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (N, FP), x.dtype if has_x else jnp.float32
+        ),
+        interpret=interpret,
+    )(*args)
+    return out[:, :F]
+
+
+def _fused_call_bwd(g, ein, snd, rcv, w, K, block_nodes, block_edges,
+                    compute_dtype, interpret, has_x):
+    N, F = g.shape
+    E = snd.shape[0]
+    n_blocks = E // block_edges
+    FP = _fp(F)
+    gp = _pad_f(g, FP)
+    out_shapes = []
+    out_specs = []
+    if has_x:
+        out_shapes.append(jax.ShapeDtypeStruct((N, FP), g.dtype))
+        out_specs.append(
+            pl.BlockSpec((block_nodes, FP), lambda b: (b, 0), **_vmem())
+        )
+    out_shapes.append(jax.ShapeDtypeStruct((K, FP), jnp.float32))
+    out_specs.append(pl.BlockSpec((K, FP), lambda b: (0, 0), **_vmem()))
+    outs = pl.pallas_call(
+        functools.partial(
+            _fused_bwd_kernel, has_x, block_nodes, block_edges, compute_dtype
+        ),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_edges), lambda b: (b, 0, 0), **_vmem()),
+            pl.BlockSpec((1, 1, block_edges), lambda b: (b, 0, 0), **_vmem()),
+            pl.BlockSpec((1, 1, block_edges), lambda b: (b, 0, 0), **_vmem()),
+            pl.BlockSpec((block_edges, K), lambda b: (b, 0), **_vmem()),
+            pl.BlockSpec((block_nodes, FP), lambda b: (b, 0), **_vmem()),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(
+        _reshape_idx(snd, n_blocks, block_edges),
+        _reshape_idx(rcv, n_blocks, block_edges),
+        _reshape_idx(w.astype(jnp.float32), n_blocks, block_edges),
+        ein,
+        gp,
+    )
+    if has_x:
+        dx, dW = outs
+        return dx[:, :F], dW[:, :F]
+    (dW,) = outs
+    return None, dW[:, :F]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
+def blocked_spmm_fused(
+    x: jnp.ndarray,  # [N, F] (ignored when has_x=False)
+    ein: jnp.ndarray,  # [E, K] per-edge inputs (one-hot ids / raw feats)
+    W: jnp.ndarray,  # [K, F] stacked tables / encoder (+bias row)
+    senders: jnp.ndarray,  # [E] int32 global
+    receivers: jnp.ndarray,  # [E] int32 global
+    edge_weight: jnp.ndarray,  # [E] f32 (0 = padded; mask folded in)
+    block_nodes: int,
+    block_edges: int,
+    compute_dtype=jnp.float32,
+    interpret: bool = False,
+    has_x: bool = True,
+) -> jnp.ndarray:
+    """out[r] = sum_e w[e] * (x[senders[e]] + (ein @ W)[e])."""
+    return _fused_call_fwd(x, ein, W, senders, receivers, edge_weight,
+                           block_nodes, block_edges, compute_dtype,
+                           interpret, has_x)
+
+
+def _fused_fwd(x, ein, W, senders, receivers, edge_weight,
+               block_nodes, block_edges, compute_dtype, interpret, has_x):
+    out = _fused_call_fwd(x, ein, W, senders, receivers, edge_weight,
+                          block_nodes, block_edges, compute_dtype,
+                          interpret, has_x)
+    return out, (x, ein, senders, receivers, edge_weight, W.shape[0])
+
+
+def _fused_bwd(block_nodes, block_edges, compute_dtype, interpret, has_x,
+               residuals, g):
+    x, ein, senders, receivers, edge_weight, K = residuals
+    dx, dW = _fused_call_bwd(g, ein, senders, receivers, edge_weight, K,
+                             block_nodes, block_edges, compute_dtype,
+                             interpret, has_x)
+    if dx is None:
+        dx = jnp.zeros_like(x)
+    f0 = lambda a: np.zeros(a.shape, jax.dtypes.float0)
+    return (dx, jnp.zeros_like(ein), dW, f0(senders), f0(receivers),
+            jnp.zeros_like(edge_weight))
+
+
+blocked_spmm_fused.defvjp(_fused_fwd, _fused_bwd)
 
 
 # ---------------------------------------------------------------------------

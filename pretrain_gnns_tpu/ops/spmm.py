@@ -76,8 +76,19 @@ def gather_scatter(
     edge_weight: Optional[jnp.ndarray] = None,  # [E]
     block_nodes: int = 0,
     block_edges: int = 0,
+    edge_in: Optional[jnp.ndarray] = None,  # [E, K] tiny per-edge inputs
+    edge_kernel: Optional[jnp.ndarray] = None,  # [K, F] tables/encoder
 ) -> jnp.ndarray:
-    """See module docstring. Returns [N, F] (or [N, 2F] for concat)."""
+    """See module docstring. Returns [N, F] (or [N, 2F] for concat).
+
+    When ``(edge_in, edge_kernel)`` are given instead of ``edge_emb``, the
+    per-edge embedding is ``edge_in @ edge_kernel`` — identical numerics
+    (embedding lookup == one-hot matmul), but on the Pallas path it is
+    computed inside the kernel so the [E, F] embedding (and its gradient)
+    never touches HBM.
+    """
+    fused = edge_in is not None and edge_kernel is not None
+    assert not (fused and edge_emb is not None)
     blocked = block_nodes > 0 and block_edges > 0
     use_pallas = _BACKEND == "pallas" or (
         _BACKEND == "auto" and _on_tpu()
@@ -87,6 +98,14 @@ def gather_scatter(
 
         interpret = not _on_tpu()
         cdt = jnp.float32 if _DTYPE == "float32" else jnp.bfloat16
+        w = edge_mask.astype(jnp.float32)
+        if edge_weight is not None:
+            w = w * edge_weight
+        if combine == "add" and fused:
+            return pallas_spmm.blocked_spmm_fused(
+                x, edge_in, edge_kernel, senders, receivers, w,
+                block_nodes, block_edges, cdt, interpret, True,
+            )
         if combine == "add":
             return pallas_spmm.gather_scatter_add(
                 x, edge_emb, senders, receivers, edge_mask, num_nodes,
@@ -96,22 +115,29 @@ def gather_scatter(
             )
         if combine == "concat":
             # concat(x_j, e) summed per receiver splits into two halves:
-            # scatter of x_j (spmm without ee) ++ scatter of e alone
-            # (spmm with x=0 — the gather contributes nothing).
+            # scatter of x_j (spmm without ee) ++ scatter of e alone.
             left = pallas_spmm.gather_scatter_add(
                 x, None, senders, receivers, edge_mask, num_nodes,
                 edge_weight=edge_weight, block_nodes=block_nodes,
                 block_edges=block_edges, compute_dtype=cdt,
                 interpret=interpret,
             )
-            right = pallas_spmm.gather_scatter_add(
-                jnp.zeros_like(x[:, :edge_emb.shape[1]]), edge_emb,
-                senders, receivers, edge_mask, num_nodes,
-                edge_weight=edge_weight, block_nodes=block_nodes,
-                block_edges=block_edges, compute_dtype=cdt,
-                interpret=interpret,
-            )
+            if fused:
+                right = pallas_spmm.blocked_spmm_fused(
+                    x, edge_in, edge_kernel, senders, receivers, w,
+                    block_nodes, block_edges, cdt, interpret, False,
+                )
+            else:
+                right = pallas_spmm.gather_scatter_add(
+                    jnp.zeros_like(x[:, :edge_emb.shape[1]]), edge_emb,
+                    senders, receivers, edge_mask, num_nodes,
+                    edge_weight=edge_weight, block_nodes=block_nodes,
+                    block_edges=block_edges, compute_dtype=cdt,
+                    interpret=interpret,
+                )
             return jnp.concatenate([left, right], axis=-1)
+    if fused:
+        edge_emb = edge_in @ edge_kernel
     return _xla(
         x, edge_emb, senders, receivers, edge_mask, num_nodes,
         combine, aggr, edge_weight,
