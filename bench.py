@@ -25,18 +25,18 @@ import time
 import numpy as np
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
-# Mixed-precision pretraining mode: bf16 MXU matmuls (f32 accumulation),
-# f32 activations/params/Adam — the standard TPU training recipe. The torch
-# baseline below runs its matmuls in f32 only because torch-CPU has no
-# bf16 fast path; on the reference's own GPU hardware AMP would be the
-# equivalent setting.
-os.environ.setdefault("PGT_MODEL_DTYPE", "bfloat16")
+# Mixed-precision pretraining mode: activations flow in bf16 (MXU matmuls
+# with f32 accumulation); BatchNorm statistics, parameters, Adam state and
+# losses stay f32 — the standard TPU training recipe. The torch baseline
+# below runs in f32 only because torch-CPU has no bf16 fast path; on the
+# reference's own GPU hardware AMP would be the equivalent setting.
+os.environ.setdefault("PGT_MODEL_DTYPE", "bfloat16_act")
 
 BATCH_GRAPHS = 256
 NUM_TASKS = 12
 EMB = 300
 LAYERS = 5
-SCAN_K = 64  # train steps fused per dispatch
+SCAN_K = 256  # train steps fused per dispatch
 ROUNDS = 3  # timed dispatches
 TORCH_STEPS = 5
 

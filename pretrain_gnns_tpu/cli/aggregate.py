@@ -56,6 +56,66 @@ def collect(result_dir: str):
     return rows
 
 
+def collect_tensorboard(run_root: str):
+    """Rows from TensorBoard event files — the reference's own result
+    format. chem/finetune.py:222-224 writes 'data/val auc'/'data/test auc'
+    (tensorboardX stores them as data/val_auc, data/test_auc) under
+    runs/finetune_cls_runseed{seed}/{dataset}/{config}/events* and
+    chem/parse_result.py:7-20,52 selects test at the argmax-val epoch.
+    This reader consumes runs produced by the UNMODIFIED reference or by
+    our ``cli.finetune --tensorboard 1`` interchangeably."""
+    from tensorboard.backend.event_processing import event_accumulator
+
+    rows = []
+    for dirpath, _dirs, files in sorted(os.walk(run_root)):
+        if not any(f.startswith("events") for f in files):
+            continue
+        ea = event_accumulator.EventAccumulator(
+            dirpath, size_guidance={event_accumulator.SCALARS: 0}
+        )
+        ea.Reload()
+        tags = set(ea.Tags()["scalars"])
+
+        def curve(tag):
+            if tag not in tags:
+                return None
+            pts = ea.Scalars(tag)
+            arr = np.zeros(max(p.step for p in pts))
+            for p in pts:  # steps are 1-based epochs (finetune.py:222)
+                arr[p.step - 1] = p.value
+            return arr
+
+        val, test = curve("data/val_auc"), curve("data/test_auc")
+        if val is None or test is None:
+            continue
+        best = int(np.argmax(val))
+        parts = os.path.normpath(dirpath).split(os.sep)
+        seed = 0
+        for p in parts:
+            if "runseed" in p:
+                try:
+                    seed = int(p.split("runseed")[-1])
+                except ValueError:
+                    pass
+        row = {
+            "dataset": parts[-2] if len(parts) >= 2 else "?",
+            "config": parts[-1],
+            "seed": seed,
+            "best_epoch": best + 1,
+            "val_auc": float(val[best]),
+            "test_auc": float(test[best]),
+        }
+        for tag in sorted(tags):  # extra splits (bio easy/hard)
+            name = tag.split("/")[-1]
+            if name.startswith("test_") and name != "test_auc":
+                extra = curve(tag)
+                if extra is not None and best < len(extra):
+                    key = name if name.endswith("_auc") else f"{name}_auc"
+                    row[key] = float(extra[best])
+        rows.append(row)
+    return rows
+
+
 def summarize(rows):
     by = defaultdict(list)
     for r in rows:
@@ -115,8 +175,12 @@ def main(argv=None):
     p.add_argument("--out", default="")
     p.add_argument("--baseline", default="nopretrain",
                    help="config name used for negative-transfer pairing")
+    p.add_argument("--from_tensorboard", type=int, default=0,
+                   help="read TensorBoard event files (the reference's "
+                        "result format) instead of result.json files")
     args = p.parse_args(argv)
-    rows = collect(args.result_dir)
+    rows = (collect_tensorboard(args.result_dir) if args.from_tensorboard
+            else collect(args.result_dir))
     table = summarize(rows)
     for t in table:
         extras = " ".join(

@@ -126,6 +126,54 @@ def graph_to_mol(g: Graph):
     return mol.GetMol()
 
 
+def graph_to_nx_simple(g: Graph):
+    """``Graph`` -> undirected networkx graph with per-node
+    ``atom_num_idx``/``chirality_tag_idx`` and per-edge
+    ``bond_type_idx``/``bond_dir_idx`` attributes (reference
+    ``graph_data_obj_to_nx_simple``, chem/loader.py:146-177; even-index
+    edges only, since bonds are stored direction-paired)."""
+    import networkx as nx
+
+    G = nx.Graph()
+    for i, row in enumerate(np.asarray(g.node_feat)):
+        G.add_node(i, atom_num_idx=int(row[0]),
+                   chirality_tag_idx=int(row[1]))
+    ei = np.asarray(g.edge_index)
+    ea = np.asarray(g.edge_feat)
+    for j in range(0, ei.shape[1], 2):
+        b, e = int(ei[0, j]), int(ei[1, j])
+        if not G.has_edge(b, e):
+            G.add_edge(b, e, bond_type_idx=int(ea[j, 0]),
+                       bond_dir_idx=int(ea[j, 1]))
+    return G
+
+
+def nx_to_graph_simple(G) -> Graph:
+    """Inverse of :func:`graph_to_nx_simple` (reference
+    ``nx_to_graph_data_obj_simple``, chem/loader.py:179-221): nodes assumed
+    labeled 0..N-1; each nx edge re-emitted in both directions
+    consecutively."""
+    x = np.array(
+        [[n["atom_num_idx"], n["chirality_tag_idx"]]
+         for _, n in G.nodes(data=True)],
+        np.int64,
+    )
+    ei, ea = [], []
+    for i, j, edge in G.edges(data=True):
+        feat = [edge["bond_type_idx"], edge["bond_dir_idx"]]
+        ei += [(i, j), (j, i)]
+        ea += [feat, feat]
+    edge_index = (
+        np.array(ei, np.int64).T if ei else np.zeros((2, 0), np.int64)
+    )
+    edge_attr = (
+        np.array(ea, np.int64)
+        if ea
+        else np.zeros((0, NUM_BOND_FEATURES), np.int64)
+    )
+    return Graph(x, edge_index, edge_attr)
+
+
 def generate_scaffold(smiles: str, include_chirality: bool = True) -> str:
     """Bemis-Murcko scaffold SMILES (chem/splitters.py:11-20)."""
     from rdkit.Chem.Scaffolds import MurckoScaffold

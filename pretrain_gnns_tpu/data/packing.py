@@ -65,6 +65,10 @@ def block_layout(
         int(math.ceil(e.mean() * batch_size * slack / block_edges)),
         1,
     )
+    # round up to a multiple of the kernel's grid-grouping factor so each
+    # Pallas grid step can process a full group of blocks (padded blocks
+    # are all-zero and cost one masked matmul each)
+    n_blocks = (n_blocks + 7) // 8 * 8
     return n_blocks, block_nodes, block_edges
 
 

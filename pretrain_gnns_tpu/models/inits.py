@@ -31,9 +31,9 @@ xavier_uniform = nn.initializers.xavier_uniform()
 #                  no convert passes are inserted between layers.
 # - "bfloat16_act" activations flow in bf16 end-to-end (params, BN stats,
 #                  Adam state, losses stay f32). Halves activation HBM
-#                  traffic; on the molecule workload the extra converts at
-#                  the BN boundaries outweighed the savings, so this is
-#                  opt-in for bandwidth-bound (giant-graph) regimes.
+#                  traffic through the SpMM kernels and the BN chain —
+#                  the fastest mode on the pretraining workload; the
+#                  bench opts in.
 _DENSE_DTYPE = os.environ.get("PGT_MODEL_DTYPE", "float32")
 
 

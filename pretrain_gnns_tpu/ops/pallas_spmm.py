@@ -266,114 +266,177 @@ blocked_spmm.defvjp(_spmm_fwd, _spmm_bwd)
 # ``edge_emb``, this removes an [E, F] HBM round-trip per layer in the
 # forward AND the [E, F] ``dmsg`` materialization in the backward — dW is
 # accumulated across grid steps inside the kernel (sequential TPU grid).
+#
+# Grid grouping: the per-block matmuls are tiny (~0.3 us of MXU work at
+# 128-node blocks) while each grid step pays fixed DMA-latency cost for its
+# 5+ small operand transfers — profiled at ~1.7 us/block, 5x the compute.
+# So each grid step processes GROUP consecutive blocks: one DMA set per
+# GROUP blocks, matmuls unrolled inside the kernel. snd/rcv ship as ONE
+# packed int32 array, and the edge weight w is folded into the one-hot
+# selects (S_w = w at the matching node, 0 elsewhere) instead of a
+# separate [E, F] multiply.
+#
+# Either side of the message is optional: ``has_x=False`` drops the
+# gather term (scatter of edge embeddings alone — the right half of bio's
+# concat message), ``has_ein=False`` drops the edge term (pure
+# neighbor scatter — the left half).
 # ---------------------------------------------------------------------------
-def _fused_fwd_kernel(has_x, block_nodes, block_edges, compute_dtype,
-                      snd_ref, rcv_ref, w_ref, ein_ref, W_ref, *rest):
+_GROUP = int(os.environ.get("PGT_SPMM_GROUP", "8"))
+
+
+def _pick_group(n_blocks: int) -> int:
+    for g in (_GROUP, 8, 4, 2):
+        if g >= 1 and n_blocks % g == 0:
+            return g
+    return 1
+
+
+def _pack_idx(snd, rcv, n_blocks, block_edges, group):
+    s = snd.reshape(n_blocks, 1, block_edges)
+    r = rcv.reshape(n_blocks, 1, block_edges)
+    both = jnp.concatenate([s, r], axis=1)  # [n_blocks, 2, EPB]
+    return both.reshape(n_blocks // group, 2 * group, block_edges)
+
+
+def _fused_fwd_kernel(group, has_x, has_ein, block_nodes, block_edges,
+                      compute_dtype, idx_ref, w_ref, *rest):
+    refs = list(rest)
+    ein_ref = W_ref = x_ref = None
+    if has_ein:
+        ein_ref, W_ref = refs.pop(0), refs.pop(0)
     if has_x:
-        x_ref, out_ref = rest
-    else:
-        (out_ref,) = rest
+        x_ref = refs.pop(0)
+    (out_ref,) = refs
+    prec = _precision(compute_dtype)
     b = pl.program_id(0)
-    base = b * block_nodes
-    rcv = rcv_ref[0, 0, :] - base
-    w = w_ref[0, 0, :]
+    if has_ein:
+        Wm = W_ref[:].astype(compute_dtype)
     node_ids = jax.lax.broadcasted_iota(
         jnp.int32, (block_edges, block_nodes), 1
     )
-    prec = _precision(compute_dtype)
-    msg = jnp.dot(
-        ein_ref[:].astype(compute_dtype), W_ref[:].astype(compute_dtype),
-        preferred_element_type=jnp.float32, precision=prec,
-    )
-    if has_x:
-        snd = snd_ref[0, 0, :] - base
-        S = (snd[:, None] == node_ids).astype(compute_dtype)
-        msg = msg + jnp.dot(
-            S, x_ref[:].astype(compute_dtype),
+    for j in range(group):
+        base = (b * group + j) * block_nodes
+        rcv = idx_ref[0, 2 * j + 1, :] - base
+        w = w_ref[0, j, :]
+        acc = None
+        if has_ein:
+            ein_w = (
+                ein_ref[j * block_edges:(j + 1) * block_edges, :]
+                .astype(jnp.float32) * w[:, None]
+            )
+            acc = jnp.dot(
+                ein_w.astype(compute_dtype), Wm,
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+        if has_x:
+            snd = idx_ref[0, 2 * j, :] - base
+            S_w = jnp.where(
+                snd[:, None] == node_ids, w[:, None], 0.0
+            ).astype(compute_dtype)
+            xj = jnp.dot(
+                S_w,
+                x_ref[j * block_nodes:(j + 1) * block_nodes, :]
+                .astype(compute_dtype),
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+            acc = xj if acc is None else acc + xj
+        R = (rcv[:, None] == node_ids).astype(compute_dtype)
+        out_ref[j * block_nodes:(j + 1) * block_nodes, :] = jnp.dot(
+            R.T, acc.astype(compute_dtype),
             preferred_element_type=jnp.float32, precision=prec,
-        )
-    msg = msg * w[:, None]
-    R = (rcv[:, None] == node_ids).astype(compute_dtype)
-    out_ref[:] = jnp.dot(
-        R.T, msg.astype(compute_dtype),
-        preferred_element_type=jnp.float32, precision=prec,
-    ).astype(out_ref.dtype)
+        ).astype(out_ref.dtype)
 
 
-def _fused_bwd_kernel(has_x, block_nodes, block_edges, compute_dtype,
-                      snd_ref, rcv_ref, w_ref, ein_ref, g_ref, *rest):
+def _fused_bwd_kernel(group, has_x, has_ein, block_nodes, block_edges,
+                      compute_dtype, idx_ref, w_ref, *rest):
+    refs = list(rest)
+    ein_ref = dx_ref = dw_ref = None
+    if has_ein:
+        ein_ref = refs.pop(0)
+    g_ref = refs.pop(0)
     if has_x:
-        dx_ref, dw_ref = rest
-    else:
-        (dw_ref,) = rest
+        dx_ref = refs.pop(0)
+    if has_ein:
+        dw_ref = refs.pop(0)
+    prec = _precision(compute_dtype)
     b = pl.program_id(0)
-    base = b * block_nodes
-    rcv = rcv_ref[0, 0, :] - base
-    w = w_ref[0, 0, :]
+
+    if has_ein:
+        # dW = sum over blocks of ein^T @ dmsg, accumulated across the
+        # (sequential) grid into a single output block.
+        @pl.when(b == 0)
+        def _():
+            dw_ref[:] = jnp.zeros_like(dw_ref)
+
     node_ids = jax.lax.broadcasted_iota(
         jnp.int32, (block_edges, block_nodes), 1
     )
-    prec = _precision(compute_dtype)
-    R = (rcv[:, None] == node_ids).astype(compute_dtype)
-    dmsg = jnp.dot(
-        R, g_ref[:].astype(compute_dtype),
-        preferred_element_type=jnp.float32, precision=prec,
-    ) * w[:, None]
-    if has_x:
-        snd = snd_ref[0, 0, :] - base
-        S = (snd[:, None] == node_ids).astype(compute_dtype)
-        dx_ref[:] = jnp.dot(
-            S.T, dmsg.astype(compute_dtype),
+    for j in range(group):
+        base = (b * group + j) * block_nodes
+        rcv = idx_ref[0, 2 * j + 1, :] - base
+        w = w_ref[0, j, :]
+        R_w = jnp.where(
+            rcv[:, None] == node_ids, w[:, None], 0.0
+        ).astype(compute_dtype)
+        dmsg = jnp.dot(
+            R_w,
+            g_ref[j * block_nodes:(j + 1) * block_nodes, :]
+            .astype(compute_dtype),
             preferred_element_type=jnp.float32, precision=prec,
-        ).astype(dx_ref.dtype)
-
-    # dW = sum over blocks of ein^T @ dmsg, accumulated across the
-    # (sequential) grid into a single output block.
-    @pl.when(b == 0)
-    def _():
-        dw_ref[:] = jnp.zeros_like(dw_ref)
-
-    dw_ref[:] += jnp.dot(
-        ein_ref[:].T.astype(compute_dtype), dmsg.astype(compute_dtype),
-        preferred_element_type=jnp.float32, precision=prec,
-    )
+        ).astype(compute_dtype)
+        if has_x:
+            snd = idx_ref[0, 2 * j, :] - base
+            S = (snd[:, None] == node_ids).astype(compute_dtype)
+            dx_ref[j * block_nodes:(j + 1) * block_nodes, :] = jnp.dot(
+                S.T, dmsg,
+                preferred_element_type=jnp.float32, precision=prec,
+            ).astype(dx_ref.dtype)
+        if has_ein:
+            ein = ein_ref[j * block_edges:(j + 1) * block_edges, :]
+            dw_ref[:] += jnp.dot(
+                ein.T.astype(compute_dtype), dmsg,
+                preferred_element_type=jnp.float32, precision=prec,
+            )
 
 
 def _fused_call_fwd(x, ein, W, snd, rcv, w, block_nodes, block_edges,
-                    compute_dtype, interpret, has_x):
-    K, F = W.shape
+                    compute_dtype, interpret, has_x, has_ein):
     E = snd.shape[0]
     n_blocks = E // block_edges
+    G = _pick_group(n_blocks)
+    F = W.shape[1] if has_ein else x.shape[1]
     FP = _fp(F)
-    Wp = _pad_f(W, FP)
     N = x.shape[0] if has_x else n_blocks * block_nodes
     args = [
-        _reshape_idx(snd, n_blocks, block_edges),
-        _reshape_idx(rcv, n_blocks, block_edges),
-        _reshape_idx(w.astype(jnp.float32), n_blocks, block_edges),
-        ein,
-        Wp,
+        _pack_idx(snd, rcv, n_blocks, block_edges, G),
+        w.astype(jnp.float32).reshape(n_blocks // G, G, block_edges),
     ]
     in_specs = [
-        pl.BlockSpec((1, 1, block_edges), lambda b: (b, 0, 0), **_vmem()),
-        pl.BlockSpec((1, 1, block_edges), lambda b: (b, 0, 0), **_vmem()),
-        pl.BlockSpec((1, 1, block_edges), lambda b: (b, 0, 0), **_vmem()),
-        pl.BlockSpec((block_edges, K), lambda b: (b, 0), **_vmem()),
-        pl.BlockSpec((K, FP), lambda b: (0, 0), **_vmem()),
+        pl.BlockSpec((1, 2 * G, block_edges), lambda b: (b, 0, 0),
+                     **_vmem()),
+        pl.BlockSpec((1, G, block_edges), lambda b: (b, 0, 0), **_vmem()),
     ]
+    if has_ein:
+        K = W.shape[0]
+        args += [ein, _pad_f(W, FP)]
+        in_specs += [
+            pl.BlockSpec((G * block_edges, K), lambda b: (b, 0), **_vmem()),
+            pl.BlockSpec((K, FP), lambda b: (0, 0), **_vmem()),
+        ]
     if has_x:
         args.append(_pad_f(x, FP))
         in_specs.append(
-            pl.BlockSpec((block_nodes, FP), lambda b: (b, 0), **_vmem())
+            pl.BlockSpec((G * block_nodes, FP), lambda b: (b, 0), **_vmem())
         )
     out = pl.pallas_call(
         functools.partial(
-            _fused_fwd_kernel, has_x, block_nodes, block_edges, compute_dtype
+            _fused_fwd_kernel, G, has_x, has_ein, block_nodes, block_edges,
+            compute_dtype,
         ),
-        grid=(n_blocks,),
+        grid=(n_blocks // G,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (block_nodes, FP), lambda b: (b, 0), **_vmem()
+            (G * block_nodes, FP), lambda b: (b, 0), **_vmem()
         ),
         out_shape=jax.ShapeDtypeStruct(
             (N, FP), x.dtype if has_x else jnp.float32
@@ -384,55 +447,63 @@ def _fused_call_fwd(x, ein, W, snd, rcv, w, block_nodes, block_edges,
 
 
 def _fused_call_bwd(g, ein, snd, rcv, w, K, block_nodes, block_edges,
-                    compute_dtype, interpret, has_x):
+                    compute_dtype, interpret, has_x, has_ein):
     N, F = g.shape
     E = snd.shape[0]
     n_blocks = E // block_edges
+    G = _pick_group(n_blocks)
     FP = _fp(F)
     gp = _pad_f(g, FP)
+    args = [
+        _pack_idx(snd, rcv, n_blocks, block_edges, G),
+        w.astype(jnp.float32).reshape(n_blocks // G, G, block_edges),
+    ]
+    in_specs = [
+        pl.BlockSpec((1, 2 * G, block_edges), lambda b: (b, 0, 0),
+                     **_vmem()),
+        pl.BlockSpec((1, G, block_edges), lambda b: (b, 0, 0), **_vmem()),
+    ]
+    if has_ein:
+        args.append(ein)
+        in_specs.append(
+            pl.BlockSpec((G * block_edges, K), lambda b: (b, 0), **_vmem())
+        )
+    args.append(gp)
+    in_specs.append(
+        pl.BlockSpec((G * block_nodes, FP), lambda b: (b, 0), **_vmem())
+    )
     out_shapes = []
     out_specs = []
     if has_x:
         out_shapes.append(jax.ShapeDtypeStruct((N, FP), g.dtype))
         out_specs.append(
-            pl.BlockSpec((block_nodes, FP), lambda b: (b, 0), **_vmem())
+            pl.BlockSpec((G * block_nodes, FP), lambda b: (b, 0), **_vmem())
         )
-    out_shapes.append(jax.ShapeDtypeStruct((K, FP), jnp.float32))
-    out_specs.append(pl.BlockSpec((K, FP), lambda b: (0, 0), **_vmem()))
+    if has_ein:
+        out_shapes.append(jax.ShapeDtypeStruct((K, FP), jnp.float32))
+        out_specs.append(pl.BlockSpec((K, FP), lambda b: (0, 0), **_vmem()))
     outs = pl.pallas_call(
         functools.partial(
-            _fused_bwd_kernel, has_x, block_nodes, block_edges, compute_dtype
+            _fused_bwd_kernel, G, has_x, has_ein, block_nodes, block_edges,
+            compute_dtype,
         ),
-        grid=(n_blocks,),
-        in_specs=[
-            pl.BlockSpec((1, 1, block_edges), lambda b: (b, 0, 0), **_vmem()),
-            pl.BlockSpec((1, 1, block_edges), lambda b: (b, 0, 0), **_vmem()),
-            pl.BlockSpec((1, 1, block_edges), lambda b: (b, 0, 0), **_vmem()),
-            pl.BlockSpec((block_edges, K), lambda b: (b, 0), **_vmem()),
-            pl.BlockSpec((block_nodes, FP), lambda b: (b, 0), **_vmem()),
-        ],
+        grid=(n_blocks // G,),
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
-    )(
-        _reshape_idx(snd, n_blocks, block_edges),
-        _reshape_idx(rcv, n_blocks, block_edges),
-        _reshape_idx(w.astype(jnp.float32), n_blocks, block_edges),
-        ein,
-        gp,
-    )
-    if has_x:
-        dx, dW = outs
-        return dx[:, :F], dW[:, :F]
-    (dW,) = outs
-    return None, dW[:, :F]
+    )(*args)
+    outs = list(outs)
+    dx = outs.pop(0)[:, :F] if has_x else None
+    dW = outs.pop(0)[:, :F] if has_ein else None
+    return dx, dW
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
 def blocked_spmm_fused(
     x: jnp.ndarray,  # [N, F] (ignored when has_x=False)
-    ein: jnp.ndarray,  # [E, K] per-edge inputs (one-hot ids / raw feats)
-    W: jnp.ndarray,  # [K, F] stacked tables / encoder (+bias row)
+    ein: Optional[jnp.ndarray],  # [E, K] per-edge inputs (one-hots / feats)
+    W: Optional[jnp.ndarray],  # [K, F] stacked tables / encoder (+bias row)
     senders: jnp.ndarray,  # [E] int32 global
     receivers: jnp.ndarray,  # [E] int32 global
     edge_weight: jnp.ndarray,  # [E] f32 (0 = padded; mask folded in)
@@ -441,31 +512,35 @@ def blocked_spmm_fused(
     compute_dtype=jnp.float32,
     interpret: bool = False,
     has_x: bool = True,
+    has_ein: bool = True,
 ) -> jnp.ndarray:
     """out[r] = sum_e w[e] * (x[senders[e]] + (ein @ W)[e])."""
     return _fused_call_fwd(x, ein, W, senders, receivers, edge_weight,
                            block_nodes, block_edges, compute_dtype,
-                           interpret, has_x)
+                           interpret, has_x, has_ein)
 
 
 def _fused_fwd(x, ein, W, senders, receivers, edge_weight,
-               block_nodes, block_edges, compute_dtype, interpret, has_x):
+               block_nodes, block_edges, compute_dtype, interpret,
+               has_x, has_ein):
     out = _fused_call_fwd(x, ein, W, senders, receivers, edge_weight,
                           block_nodes, block_edges, compute_dtype,
-                          interpret, has_x)
-    return out, (x, ein, senders, receivers, edge_weight, W.shape[0])
+                          interpret, has_x, has_ein)
+    return out, (x, ein, senders, receivers, edge_weight,
+                 W.shape[0] if has_ein else 0)
 
 
-def _fused_bwd(block_nodes, block_edges, compute_dtype, interpret, has_x,
-               residuals, g):
+def _fused_bwd(block_nodes, block_edges, compute_dtype, interpret,
+               has_x, has_ein, residuals, g):
     x, ein, senders, receivers, edge_weight, K = residuals
     dx, dW = _fused_call_bwd(g, ein, senders, receivers, edge_weight, K,
                              block_nodes, block_edges, compute_dtype,
-                             interpret, has_x)
+                             interpret, has_x, has_ein)
     if dx is None:
         dx = jnp.zeros_like(x)
     f0 = lambda a: np.zeros(a.shape, jax.dtypes.float0)
-    return (dx, jnp.zeros_like(ein), dW, f0(senders), f0(receivers),
+    dein = jnp.zeros_like(ein) if has_ein else None
+    return (dx, dein, dW, f0(senders), f0(receivers),
             jnp.zeros_like(edge_weight))
 
 

@@ -104,7 +104,12 @@ def gather_scatter(
         if combine == "add" and fused:
             return pallas_spmm.blocked_spmm_fused(
                 x, edge_in, edge_kernel, senders, receivers, w,
-                block_nodes, block_edges, cdt, interpret, True,
+                block_nodes, block_edges, cdt, interpret, True, True,
+            )
+        if combine == "add" and edge_emb is None:
+            return pallas_spmm.blocked_spmm_fused(
+                x, None, None, senders, receivers, w,
+                block_nodes, block_edges, cdt, interpret, True, False,
             )
         if combine == "add":
             return pallas_spmm.gather_scatter_add(
@@ -116,16 +121,14 @@ def gather_scatter(
         if combine == "concat":
             # concat(x_j, e) summed per receiver splits into two halves:
             # scatter of x_j (spmm without ee) ++ scatter of e alone.
-            left = pallas_spmm.gather_scatter_add(
-                x, None, senders, receivers, edge_mask, num_nodes,
-                edge_weight=edge_weight, block_nodes=block_nodes,
-                block_edges=block_edges, compute_dtype=cdt,
-                interpret=interpret,
+            left = pallas_spmm.blocked_spmm_fused(
+                x, None, None, senders, receivers, w,
+                block_nodes, block_edges, cdt, interpret, True, False,
             )
             if fused:
                 right = pallas_spmm.blocked_spmm_fused(
                     x, edge_in, edge_kernel, senders, receivers, w,
-                    block_nodes, block_edges, cdt, interpret, False,
+                    block_nodes, block_edges, cdt, interpret, False, True,
                 )
             else:
                 right = pallas_spmm.gather_scatter_add(

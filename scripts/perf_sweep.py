@@ -23,7 +23,7 @@ BATCH_GRAPHS = int(cfg.get("batch", 256))
 NUM_TASKS = 12
 EMB = int(cfg.get("emb", 300))
 LAYERS = 5
-SCAN_K = 64
+SCAN_K = int(cfg.get("scan_k", 256))
 ROUNDS = int(cfg.get("rounds", 3))
 BLOCK_NODES = int(cfg.get("block_nodes", 128))
 BLOCK_EDGES = int(cfg.get("block_edges", 384))

@@ -183,3 +183,32 @@ def test_aggregate_extra_splits_and_negative_transfer(tmp_path):
     assert t["n_pairs"] == 2
     assert t["negative_transfer_seeds"] == 1
     assert abs(t["mean_gain"] - (0.08 - 0.03) / 2) < 1e-9
+
+
+def test_aggregate_from_tensorboard(tmp_path):
+    """The TB-event reader consumes the reference's exact on-disk layout
+    (runs/finetune_cls_runseed{seed}/{dataset}/{config}/events*, tags
+    written as 'data/val auc' etc. by chem/finetune.py:222-224) and applies
+    the argmax-val-epoch rule of chem/parse_result.py:7-20."""
+    from tensorboardX import SummaryWriter
+
+    from pretrain_gnns_tpu.cli import aggregate
+
+    val = [0.5, 0.8, 0.6]
+    test = [0.4, 0.7, 0.9]
+    for seed in (0, 1):
+        d = tmp_path / f"finetune_cls_runseed{seed}" / "tox21" / "gin_masking"
+        w = SummaryWriter(str(d))
+        for i, (v, t) in enumerate(zip(val, test), 1):
+            w.add_scalar("data/val auc", v, i)
+            w.add_scalar("data/test auc", t, i)
+        w.close()
+    rows = aggregate.collect_tensorboard(str(tmp_path))
+    assert len(rows) == 2
+    r = rows[0]
+    assert r["dataset"] == "tox21" and r["config"] == "gin_masking"
+    assert r["best_epoch"] == 2  # argmax val
+    assert abs(r["test_auc"] - 0.7) < 1e-6  # test AT best-val epoch
+    assert {row["seed"] for row in rows} == {0, 1}
+    table = aggregate.summarize(rows)
+    assert abs(table[0]["mean_test_auc"] - 0.7) < 1e-6

@@ -120,3 +120,42 @@ def test_mutag_processing(tmp_path):
     (raw / "mutag_188_target.txt").write_text("1\n-1\n")
     n = featurize.process_dataset("mutag", str(tmp_path))
     assert n == 2
+
+
+def test_graph_nx_roundtrip():
+    """graph -> nx -> graph preserves features and undirected topology
+    (reference chem/loader.py:146-221; edges re-paired both directions)."""
+    from pretrain_gnns_tpu.core.graphs import Graph
+
+    x = np.array([[5, 0], [7, 1], [5, 2], [6, 0]], np.int64)
+    ei = np.array([[0, 1, 1, 2, 2, 3], [1, 0, 2, 1, 3, 2]], np.int64)
+    ea = np.array([[0, 0], [0, 0], [1, 2], [1, 2], [3, 1], [3, 1]], np.int64)
+    g = Graph(x, ei, ea)
+    G = featurize.graph_to_nx_simple(g)
+    assert G.number_of_nodes() == 4 and G.number_of_edges() == 3
+    assert G.edges[1, 2]["bond_type_idx"] == 1
+    g2 = featurize.nx_to_graph_simple(G)
+    np.testing.assert_array_equal(g2.node_feat, x)
+    # same undirected edge set with identical attributes
+    def undirected(gg):
+        return {
+            (min(int(gg.edge_index[0, k]), int(gg.edge_index[1, k])),
+             max(int(gg.edge_index[0, k]), int(gg.edge_index[1, k])),
+             tuple(int(v) for v in gg.edge_feat[k]))
+            for k in range(gg.num_edges)
+        }
+    assert undirected(g2) == undirected(g)
+    # direction pairing invariant: rows 2k and 2k+1 are mutual reverses
+    for k in range(0, g2.num_edges, 2):
+        assert g2.edge_index[0, k] == g2.edge_index[1, k + 1]
+        assert g2.edge_index[1, k] == g2.edge_index[0, k + 1]
+
+
+def test_nx_empty_edges():
+    import networkx as nx
+
+    G = nx.Graph()
+    G.add_node(0, atom_num_idx=5, chirality_tag_idx=0)
+    g = featurize.nx_to_graph_simple(G)
+    assert g.edge_index.shape == (2, 0)
+    assert g.edge_feat.shape == (0, 2)
