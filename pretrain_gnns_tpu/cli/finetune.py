@@ -42,6 +42,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--packing", default="auto",
                    choices=["auto", "standard", "blocked"],
                    help="batch layout: auto = block-diagonal (Pallas) on TPU")
+    p.add_argument("--halo_devices", type=int, default=1,
+                   help="edge-partitioned halo execution: node-shard each "
+                        "batch over N devices (giant-graph path)")
     p.add_argument("--split", default="scaffold",
                    choices=["scaffold", "random", "random_scaffold",
                             "species"])
@@ -123,6 +126,7 @@ def main(argv=None):
         gnn_type=args.gnn_type, lr=args.lr, lr_scale=args.lr_scale,
         decay=args.decay, batch_size=args.batch_size, epochs=args.epochs,
         seed=args.seed, runseed=args.runseed, packing=args.packing,
+        halo_devices=args.halo_devices,
     )
     trunk = load_trunk_any(args.input_model_file) if args.input_model_file \
         else None

@@ -38,6 +38,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--dp_devices", type=int, default=1,
                    help="data-parallel devices (0 = all local devices)")
+    p.add_argument("--halo_devices", type=int, default=1,
+                   help="edge-partitioned halo execution for the supervised "
+                        "objective: node-shard each batch over N devices")
     p.add_argument("--packing", default="auto",
                    choices=["auto", "standard", "blocked"],
                    help="batch layout: auto = block-diagonal (Pallas) on TPU")
@@ -91,6 +94,7 @@ def _supervised(args, graphs, meta):
         emb_dim=args.emb_dim, dropout_ratio=args.dropout_ratio,
         jk=args.jk, gnn_type=args.gnn_type, lr=args.lr, decay=args.decay,
         batch_size=args.batch_size, epochs=args.epochs, runseed=args.seed,
+        halo_devices=getattr(args, "halo_devices", 1),
     )
     model = ft.build_model(cfg)
     extra_pad = (
@@ -106,7 +110,10 @@ def _supervised(args, graphs, meta):
     trunk = load_trunk_any(args.input_model_file) \
         if args.input_model_file else None
     state, tx = ft.init_state(cfg, model, sample, trunk)
-    step = ft.make_train_step(model, tx, cfg.loss_kind)
+    if cfg.halo_devices > 1:
+        step, _ = ft.make_halo_steps(cfg, tx)
+    else:
+        step = ft.make_train_step(model, tx, cfg.loss_kind)
     history = []
     for epoch in range(1, args.epochs + 1):
         tot, nb = 0.0, 0

@@ -53,6 +53,9 @@ class FinetuneConfig:
     runseed: int = 0  # init / shuffle seed
     packing: str = "auto"  # auto | standard | blocked (Pallas layout)
     loss_kind: Optional[str] = None  # default: chem masked BCE | bio plain
+    # edge-partitioned halo execution (parallel/halo.py): shard each packed
+    # batch's node rows over this many devices; 1 = single-device
+    halo_devices: int = 1
 
     def __post_init__(self):
         if self.loss_kind is None:
@@ -149,6 +152,44 @@ def stack_batches(batches) -> PackedGraphs:
     )
 
 
+def make_halo_steps(cfg: "FinetuneConfig", tx):
+    """Edge-partitioned train/eval steps (parallel/halo.py): each packed
+    batch is node-sharded over ``cfg.halo_devices`` devices per step, with
+    boundary-only all-to-all feature exchange inside every conv layer.
+    Drop-in replacements for (make_train_step, make_eval_step)."""
+    from pretrain_gnns_tpu.parallel import halo as halolib
+    from pretrain_gnns_tpu.parallel import mesh as meshlib
+
+    if cfg.jk != "last" or cfg.graph_pooling != "mean":
+        raise NotImplementedError(
+            "halo execution implements the protocol default head "
+            "(JK=last, mean pool)"
+        )
+    n = cfg.halo_devices
+    hmesh = meshlib.make_mesh(n, axis_name="edge")
+    step_raw = halolib.make_halo_train_step(
+        hmesh, tx, num_layer=cfg.num_layer, gnn_type=cfg.gnn_type,
+        domain=cfg.domain, drop_ratio=cfg.dropout_ratio,
+    )
+    apply_raw = halolib.make_halo_graphpred_apply(
+        hmesh, cfg.num_layer, gnn_type=cfg.gnn_type, domain=cfg.domain,
+    )
+
+    def _shard(batch):
+        return halolib.put_sharded(halolib.shard_packed(batch, n), hmesh)
+
+    def train_step(state, batch):
+        return step_raw(state, _shard(batch))
+
+    def eval_step(state, batch):
+        return apply_raw(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            _shard(batch),
+        )
+
+    return train_step, eval_step
+
+
 def make_eval_step(model):
     @jax.jit
     def logits(state: TrainState, batch: PackedGraphs):
@@ -238,8 +279,11 @@ def run_finetune(
 
     sample = next(iter(val_loader))
     state, tx = init_state(cfg, model, sample, pretrained_trunk)
-    train_step = make_train_step(model, tx, cfg.loss_kind)
-    eval_step = make_eval_step(model)
+    if cfg.halo_devices > 1:
+        train_step, eval_step = make_halo_steps(cfg, tx)
+    else:
+        train_step = make_train_step(model, tx, cfg.loss_kind)
+        eval_step = make_eval_step(model)
 
     curves = {"train_loss": [], "val": [], "test": []}
     for name in extra_loaders:
