@@ -76,13 +76,26 @@ def collect_tensorboard(run_root: str):
         ea.Reload()
         tags = set(ea.Tags()["scalars"])
 
+        # size every curve to the run's common max epoch (like the
+        # reference's fixed np.zeros(100), chem/parse_result.py:10-14):
+        # an interrupted run that logged val but not test for its final
+        # epoch must not index past the shorter array, and step<1 points
+        # (malformed writers) are skipped instead of writing arr[-1]
+        n_epochs = 0
+        for tag in tags:
+            pts = ea.Scalars(tag)
+            if pts:
+                n_epochs = max(n_epochs, max(p.step for p in pts))
+        if n_epochs < 1:
+            continue
+
         def curve(tag):
             if tag not in tags:
                 return None
-            pts = ea.Scalars(tag)
-            arr = np.zeros(max(p.step for p in pts))
-            for p in pts:  # steps are 1-based epochs (finetune.py:222)
-                arr[p.step - 1] = p.value
+            arr = np.zeros(n_epochs)
+            for p in ea.Scalars(tag):  # 1-based epochs (finetune.py:222)
+                if 1 <= p.step <= n_epochs:
+                    arr[p.step - 1] = p.value
             return arr
 
         val, test = curve("data/val_auc"), curve("data/test_auc")

@@ -126,7 +126,7 @@ def main(argv=None):
         gnn_type=args.gnn_type, lr=args.lr, lr_scale=args.lr_scale,
         decay=args.decay, batch_size=args.batch_size, epochs=args.epochs,
         seed=args.seed, runseed=args.runseed, packing=args.packing,
-        halo_devices=args.halo_devices,
+        halo_devices=args.halo_devices, eval_train=bool(args.eval_train),
     )
     trunk = load_trunk_any(args.input_model_file) if args.input_model_file \
         else None
@@ -161,6 +161,10 @@ def main(argv=None):
         ):
             writer.add_scalar("data/val auc", v, i)
             writer.add_scalar("data/test auc", t, i)
+        # reference logs train AUC only under --eval_train
+        # (chem/finetune.py:205-210, 222)
+        for i, tr in enumerate(res["curves"].get("train", []), 1):
+            writer.add_scalar("data/train auc", tr, i)
         writer.close()
 
     out = {
@@ -176,6 +180,8 @@ def main(argv=None):
     for name in (extra_test or {}):
         out[name] = res["curves"][name]
         out[f"{name}_auc"] = res["curves"][name][res["best_epoch"] - 1]
+    if "train" in res["curves"]:
+        out["train"] = res["curves"]["train"]
     with open(os.path.join(run_dir, "result.json"), "w") as f:
         json.dump(out, f)
     print(json.dumps({"val_auc": res["val_auc"],

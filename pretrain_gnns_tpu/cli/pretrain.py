@@ -32,7 +32,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--decay", type=float, default=0.0)
     p.add_argument("--num_layer", type=int, default=5)
     p.add_argument("--emb_dim", type=int, default=300)
-    p.add_argument("--dropout_ratio", type=float, default=0.0)
+    p.add_argument("--dropout_ratio", type=float, default=None,
+                   help="default: 0.2 for supervised "
+                        "(chem/pretrain_supervised.py:99), else 0.0")
+    p.add_argument("--split", default="species",
+                   choices=["species", "random"],
+                   help="bio supervised pretrain-set construction "
+                        "(bio/pretrain_supervised.py:83-101)")
     p.add_argument("--JK", dest="jk", default="last")
     p.add_argument("--gnn_type", default="gin")
     p.add_argument("--seed", type=int, default=0)
@@ -46,6 +52,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="batch layout: auto = block-diagonal (Pallas) on TPU")
     p.add_argument("--num_workers", type=int, default=0,
                    help="accepted for reference-CLI parity (unused)")
+    p.add_argument("--scan_steps", type=int, default=0,
+                   help="train steps fused per device dispatch "
+                        "(0 = auto: 16 on accelerators)")
+    p.add_argument("--transform_device", default="auto",
+                   choices=["auto", "host", "device"],
+                   help="run the SSL transform in the loader (host) or "
+                        "fused into the jitted step (device; chem masking)")
     # masking
     p.add_argument("--mask_rate", type=float, default=0.15)
     p.add_argument("--mask_edge", type=int, default=0)
@@ -67,6 +80,39 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def resolve_dropout(args) -> float:
+    """Reference defaults: supervised pretrain 0.2
+    (chem/pretrain_supervised.py:99), all SSL objectives 0.0."""
+    if args.dropout_ratio is not None:
+        return args.dropout_ratio
+    return 0.2 if args.objective == "supervised" else 0.0
+
+
+def bio_supervised_pretrain_indices(species: "np.ndarray", split: str,
+                                    seed: int):
+    """The reference's supervised pretrain-set construction
+    (bio/pretrain_supervised.py:83-101): species split -> pretrain set =
+    7 train/valid species PLUS the easy ("broad") half of the human test
+    set (chosen with the same seeded random_split fine-tuning later calls
+    "test_easy"); the "random" branch instead pools the random split's
+    train+valid fractions."""
+    import numpy as np
+
+    from pretrain_gnns_tpu.data import splitters
+
+    n = len(species)
+    if split == "random":
+        tr, va, _ = splitters.random_split(n, seed=seed)
+        return list(tr) + list(va)
+    if split != "species":
+        raise ValueError(f"Unknown split name. ({split})")
+    tv, te = splitters.species_split(np.asarray(species))
+    easy_idx, _, _ = splitters.random_split(
+        len(te), frac_train=0.5, frac_valid=0.5, frac_test=0.0, seed=seed
+    )
+    return list(tv) + [te[i] for i in easy_idx]
+
+
 def _supervised(args, graphs, meta):
     """Supervised pretraining = GNN_graphpred on the pretrain label set
     (chem/pretrain_supervised.py:120-148, bio/pretrain_supervised.py:108-131);
@@ -76,13 +122,16 @@ def _supervised(args, graphs, meta):
     import numpy as np
 
     from pretrain_gnns_tpu.train import finetune as ft
-    from pretrain_gnns_tpu.train import optim
-    from pretrain_gnns_tpu.train.state import TrainState
-    from pretrain_gnns_tpu.data.packing import PackedLoader
     from pretrain_gnns_tpu.train.checkpoints import load_trunk_any
     import jax
 
     if args.domain == "bio":
+        species = np.array(
+            [g.extras["species_id"][0][0] for g in graphs]
+        )
+        keep = bio_supervised_pretrain_indices(species, args.split,
+                                               args.seed)
+        graphs = [graphs[i] for i in keep]
         graphs = [
             dc.replace(g, y=np.asarray(g.extras["go_target_pretrain"][0],
                                        np.float32))
@@ -100,27 +149,65 @@ def _supervised(args, graphs, meta):
     extra_pad = (
         {"center_node_idx": cfg.batch_size} if args.domain == "bio" else None
     )
-    from pretrain_gnns_tpu.data.packing import choose_blocks
+    from pretrain_gnns_tpu.data.packing import choose_blocks, make_loader
+    from pretrain_gnns_tpu.data.prefetch import prefetch
+    import jax.numpy as jnp
 
     blocks = choose_blocks(graphs, cfg.batch_size, args.packing)
-    loader = PackedLoader(graphs, cfg.batch_size, seed=args.seed,
-                          drop_last=True, extra_pad=extra_pad,
-                          blocks=blocks)
+    loader = make_loader(graphs, cfg.batch_size, seed=args.seed,
+                         drop_last=True, extra_pad=extra_pad,
+                         blocks=blocks)
     sample = next(iter(loader))
     trunk = load_trunk_any(args.input_model_file) \
         if args.input_model_file else None
     state, tx = ft.init_state(cfg, model, sample, trunk)
+    n_dev = args.dp_devices if args.dp_devices > 0 else jax.device_count()
+    mesh = None
     if cfg.halo_devices > 1:
         step, _ = ft.make_halo_steps(cfg, tx)
+    elif n_dev > 1:
+        # graph-data parallelism for the supervised stage
+        # (chem/pretrain_supervised.py has no distributed path; ours DDPs
+        # the masked/plain BCE like every other objective)
+        from pretrain_gnns_tpu.objectives import losses
+        from pretrain_gnns_tpu.parallel import dp
+        from pretrain_gnns_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_dev)
+        loss_of = (losses.plain_bce if args.domain == "bio"
+                   else losses.masked_task_bce)
+        step = dp.make_dp_train_step(model, tx, mesh, loss_of=loss_of)
+        state = jax.device_put(
+            state, jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec()
+            )
+        )
     else:
         step = ft.make_train_step(model, tx, cfg.loss_kind)
+
     history = []
     for epoch in range(1, args.epochs + 1):
-        tot, nb = 0.0, 0
-        for batch in loader:
-            state, loss = step(state, batch)
-            tot += float(loss)
-            nb += 1
+        loss_parts, nb = [], 0
+        if mesh is not None:
+            from pretrain_gnns_tpu.parallel import dp
+
+            it = iter(loader)
+            while True:
+                group = [b for _, b in zip(range(n_dev), it)]
+                if len(group) < n_dev:
+                    break
+                gb = dp.shard_global_batch(
+                    dp.stack_local_batches(group), mesh
+                )
+                state, loss = step(state, gb)
+                loss_parts.append(loss)
+                nb += 1
+        else:
+            for batch in prefetch(loader):
+                state, loss = step(state, batch)
+                loss_parts.append(loss)
+                nb += 1
+        tot = (float(jnp.sum(jnp.stack(loss_parts))) if loss_parts else 0.0)
         history.append({"epoch": epoch, "loss": tot / max(nb, 1)})
         print(json.dumps(history[-1]))
     trunk_vars = {
@@ -132,6 +219,7 @@ def _supervised(args, graphs, meta):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    args.dropout_ratio = resolve_dropout(args)
 
     from pretrain_gnns_tpu.data import datasets
     from pretrain_gnns_tpu.train import pretrain
@@ -158,7 +246,8 @@ def main(argv=None):
             mode=args.mode, neg_samples=args.neg_samples,
             context_pooling=args.context_pooling, l1=args.l1,
             center=bool(args.center), packing=args.packing,
-            dp_devices=args.dp_devices,
+            dp_devices=args.dp_devices, scan_steps=args.scan_steps,
+            transform_device=args.transform_device,
         )
         res = pretrain.run_pretrain(
             cfg, graphs, log=lambda s: print(s, flush=True),

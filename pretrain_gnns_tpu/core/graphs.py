@@ -295,11 +295,13 @@ def pack_graphs_blocked(
     """
     if max_graphs is None:
         max_graphs = len(graphs)
-    # first-fit into blocks
-    blocks: List[List[Graph]] = [[] for _ in range(n_blocks)]
+    # first-fit into blocks; graph SLOTS stay in input order (same contract
+    # as pack_graphs and the C++ packer: y[i] belongs to graphs[i])
+    n_cursor = np.zeros(len(graphs), int)
+    e_cursor = np.zeros(len(graphs), int)
     fill_n = np.zeros(n_blocks, int)
     fill_e = np.zeros(n_blocks, int)
-    for g in graphs:
+    for i, g in enumerate(graphs):
         if g.num_nodes > block_nodes or g.num_edges > block_edges:
             raise ValueError(
                 f"graph ({g.num_nodes}n/{g.num_edges}e) exceeds block "
@@ -310,7 +312,8 @@ def pack_graphs_blocked(
                 fill_n[b] + g.num_nodes <= block_nodes
                 and fill_e[b] + g.num_edges <= block_edges
             ):
-                blocks[b].append(g)
+                n_cursor[i] = b * block_nodes + fill_n[b]
+                e_cursor[i] = b * block_edges + fill_e[b]
                 fill_n[b] += g.num_nodes
                 fill_e[b] += g.num_edges
                 break
@@ -333,40 +336,34 @@ def pack_graphs_blocked(
 
     extras_parts: Dict[str, list] = {}
     kinds: Dict[str, str] = {}
-    gid = 0
-    for b in range(n_blocks):
-        n_off = b * block_nodes
-        e_off = b * block_edges
-        for g in blocks[b]:
-            nn, ne = g.num_nodes, g.num_edges
-            node_feat[n_off: n_off + nn] = g.node_feat
-            edge_feat[e_off: e_off + ne] = g.edge_feat
-            receivers[e_off: e_off + ne] = g.edge_index[0] + n_off
-            senders[e_off: e_off + ne] = g.edge_index[1] + n_off
-            node_graph[n_off: n_off + nn] = gid
-            node_mask[n_off: n_off + nn] = True
-            edge_mask[e_off: e_off + ne] = True
-            graph_mask[gid] = True
-            if g.y is not None:
-                if ys is None:
-                    ys = np.zeros(
-                        (max_graphs,) + np.asarray(g.y).shape,
-                        np.asarray(g.y).dtype,
-                    )
-                ys[gid] = g.y
-            for k, (arr, kind) in g.extras.items():
-                arr = np.asarray(arr)
-                if kind == NODE_IDX:
-                    arr = arr.astype(np.int32) + n_off
-                elif kind == EDGE_IDX:
-                    arr = arr.astype(np.int32) + e_off
-                extras_parts.setdefault(k, []).append(arr)
-                kinds[k] = kind
-            n_off += nn
-            e_off += ne
-            gid += 1
-        # pad rows inside the block keep mask False / index 0 defaults
-        node_graph[n_off: (b + 1) * block_nodes] = 0
+    for gid, g in enumerate(graphs):
+        n_off = int(n_cursor[gid])
+        e_off = int(e_cursor[gid])
+        nn, ne = g.num_nodes, g.num_edges
+        node_feat[n_off: n_off + nn] = g.node_feat
+        edge_feat[e_off: e_off + ne] = g.edge_feat
+        receivers[e_off: e_off + ne] = g.edge_index[0] + n_off
+        senders[e_off: e_off + ne] = g.edge_index[1] + n_off
+        node_graph[n_off: n_off + nn] = gid
+        node_mask[n_off: n_off + nn] = True
+        edge_mask[e_off: e_off + ne] = True
+        graph_mask[gid] = True
+        if g.y is not None:
+            if ys is None:
+                ys = np.zeros(
+                    (max_graphs,) + np.asarray(g.y).shape,
+                    np.asarray(g.y).dtype,
+                )
+            ys[gid] = g.y
+        for k, (arr, kind) in g.extras.items():
+            arr = np.asarray(arr)
+            if kind == NODE_IDX:
+                arr = arr.astype(np.int32) + n_off
+            elif kind == EDGE_IDX:
+                arr = arr.astype(np.int32) + e_off
+            extras_parts.setdefault(k, []).append(arr)
+            kinds[k] = kind
+    # padded rows inside each block keep mask False / index 0 defaults
 
     extras: Dict[str, np.ndarray] = {}
     for k, parts in extras_parts.items():

@@ -94,6 +94,49 @@ def buffer_sizes(
     return r(max_nodes), r(max_edges)
 
 
+def make_loader(
+    graphs: Sequence[Graph],
+    batch_size: int,
+    max_nodes: Optional[int] = None,
+    max_edges: Optional[int] = None,
+    shuffle: bool = True,
+    drop_last: bool = False,
+    seed: int = 0,
+    transform=None,
+    extra_pad=None,
+    blocks: Optional[Tuple[int, int, int]] = None,
+    post_transform=None,
+):
+    """Loader factory: transform-free datasets with flat-compatible extras
+    get the zero-copy ``FlatLoader`` (C++ packer hot path); anything else
+    falls back to the per-graph ``PackedLoader``. Both expose the same
+    iteration semantics (seeded shuffle, early flush, drop_last,
+    ``last_epoch_stats``)."""
+    if transform is None:
+        from pretrain_gnns_tpu.data.flat import FlatGraphs, FlatLoader
+
+        try:
+            flat = FlatGraphs.from_graphs(list(graphs))
+        except (ValueError, IndexError):
+            flat = None
+        if flat is not None:
+            if blocks is None and (max_nodes is None or max_edges is None):
+                mn, me = buffer_sizes(list(graphs), batch_size)
+                max_nodes = max_nodes or mn
+                max_edges = max_edges or me
+            return FlatLoader(
+                flat, batch_size, max_nodes or 0, max_edges or 0,
+                shuffle=shuffle, seed=seed, drop_last=drop_last,
+                blocks=blocks, extra_pad=extra_pad,
+                post_transform=post_transform,
+            )
+    return PackedLoader(
+        graphs, batch_size, max_nodes, max_edges, shuffle=shuffle,
+        drop_last=drop_last, seed=seed, transform=transform,
+        extra_pad=extra_pad, blocks=blocks, post_transform=post_transform,
+    )
+
+
 class PackedLoader:
     """Iterable over packed batches.
 
@@ -121,8 +164,10 @@ class PackedLoader:
         transform: Optional[Callable[[Graph, np.random.Generator], Graph]] = None,
         extra_pad=None,
         blocks: Optional[Tuple[int, int, int]] = None,
+        post_transform=None,
     ):
         self.graphs = list(graphs)
+        self.post_transform = post_transform
         self.batch_size = batch_size
         self.blocks = blocks
         if blocks is not None:
@@ -139,6 +184,10 @@ class PackedLoader:
         self.transform = transform
         self.extra_pad = extra_pad
         self._epoch = 0
+        # realized packing telemetry for the last completed epoch
+        # (graphs_per_batch < batch_size signals early flushes from
+        # undersized buffers — see buffer_sizes/choose_blocks)
+        self.last_epoch_stats: dict = {}
 
     def __len__(self) -> int:
         n = len(self.graphs)
@@ -156,18 +205,22 @@ class PackedLoader:
         def _pack(batch: List[Graph]) -> PackedGraphs:
             if self.blocks is not None:
                 n_blocks, bn, be = self.blocks
-                return pack_graphs_blocked(
+                out = pack_graphs_blocked(
                     batch, n_blocks, bn, be, self.batch_size,
                     extra_pad=self.extra_pad, np_out=True,
                 )
-            return pack_graphs(
-                batch,
-                self.max_nodes,
-                self.max_edges,
-                self.batch_size,
-                extra_pad=self.extra_pad,
-                np_out=True,  # host-side; jit transfers per step
-            )
+            else:
+                out = pack_graphs(
+                    batch,
+                    self.max_nodes,
+                    self.max_edges,
+                    self.batch_size,
+                    extra_pad=self.extra_pad,
+                    np_out=True,  # host-side; jit transfers per step
+                )
+            if self.post_transform is not None:
+                out = self.post_transform(out, rng)
+            return out
 
         def fits(g: Graph, fills) -> bool:
             if self.blocks is None:
@@ -198,6 +251,7 @@ class PackedLoader:
 
         batch: List[Graph] = []
         n_nodes = n_edges = 0
+        n_batches = n_graphs = tot_edges = 0
         fills = new_fills()
         for idx in order:
             g = self.graphs[idx]
@@ -205,6 +259,9 @@ class PackedLoader:
                 g = self.transform(g, rng)
             if batch and not fits(g, fills):
                 yield _pack(batch)  # buffer overflow: flush early
+                n_batches += 1
+                n_graphs += len(batch)
+                tot_edges += n_edges
                 batch, n_nodes, n_edges = [], 0, 0
                 fills = new_fills()
                 fits(g, fills)
@@ -215,7 +272,17 @@ class PackedLoader:
             n_edges += g.num_edges
             if len(batch) == self.batch_size:
                 yield _pack(batch)
+                n_batches += 1
+                n_graphs += len(batch)
+                tot_edges += n_edges
                 batch, n_nodes, n_edges = [], 0, 0
                 fills = new_fills()
         if batch and not self.drop_last:
             yield _pack(batch)
+            n_batches += 1
+            n_graphs += len(batch)
+            tot_edges += n_edges
+        self.last_epoch_stats = {
+            "batches": n_batches, "graphs": n_graphs, "edges": tot_edges,
+            "graphs_per_batch": n_graphs / max(n_batches, 1),
+        }

@@ -90,15 +90,32 @@ def _edge_encode_lazy(mod, edge_feat, dim):
     return e, kernel[SELF_LOOP_DIM] + bias
 
 
+class _DenseParams(nn.Module):
+    """Declares a Dense layer's parameter tree (kernel/bias with the torch
+    default inits) without ever running the matmul — for fused paths that
+    consume the weights directly."""
+
+    features: int
+    fan_in: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", inits.torch_linear_kernel,
+            (self.fan_in, self.features),
+        )
+        bias = self.param(
+            "bias", inits.torch_linear_bias(self.fan_in), (self.features,)
+        )
+        return kernel, bias
+
+
 def _edge_encode_fused(mod, edge_feat, dim):
     """The same Linear(9 -> dim) encoder in fused form for the Pallas SpMM:
     ``ein = [edge_feat | 1]`` and ``W = [kernel; bias]`` so that
     ``ein @ W == edge_feat @ kernel + bias`` exactly; the embedding never
     materializes in HBM on the kernel path."""
-    enc = inits.dense(dim, EDGE_FEAT_DIM, "edge_encoder")
-    enc(jnp.zeros((1, EDGE_FEAT_DIM), jnp.float32))  # create params only
-    kernel = mod.get_variable("params", "edge_encoder")["kernel"]
-    bias = mod.get_variable("params", "edge_encoder")["bias"]
+    kernel, bias = _DenseParams(dim, EDGE_FEAT_DIM, name="edge_encoder")()
     ein = jnp.concatenate(
         [edge_feat.astype(kernel.dtype),
          jnp.ones((edge_feat.shape[0], 1), kernel.dtype)], axis=1

@@ -47,6 +47,7 @@ def load() -> Optional[ctypes.CDLL]:
         lib = ctypes.CDLL(_SO)
         lib.pack_batch.restype = ctypes.c_int
         lib.pack_batch_blocked.restype = ctypes.c_int
+        lib.plan_epoch.restype = ctypes.c_int64
         _lib = lib
     except OSError:
         _lib = None

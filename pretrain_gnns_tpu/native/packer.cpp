@@ -142,4 +142,55 @@ int pack_batch_blocked(
   return 0;
 }
 
+// Epoch planner: walk the (shuffled) graph order once, assigning graphs to
+// batches and block-diagonal slots with the same greedy first-fit the
+// python loaders use (flush when the next graph fits no block, or when
+// batch_size graphs are placed). Standard contiguous layout = 1 block of
+// (max_nodes, max_edges). Emits, per ordered graph: its batch index and
+// its node/edge slot offsets. Returns the number of batches.
+int64_t plan_epoch(
+    const int64_t* lens_n, const int64_t* lens_e,
+    const int64_t* order, int64_t n,
+    int64_t batch_size, int64_t n_blocks, int64_t block_nodes,
+    int64_t block_edges,
+    int32_t* out_batch, int32_t* out_nstart, int32_t* out_estart) {
+  // fill state per block (heap-free: n_blocks is small)
+  int64_t fill_n[1024];
+  int64_t fill_e[1024];
+  if (n_blocks > 1024) return -1;
+  for (int64_t b = 0; b < n_blocks; ++b) fill_n[b] = fill_e[b] = 0;
+
+  int64_t batch = 0, in_batch = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t g = order[i];
+    const int64_t nn = lens_n[g], ne = lens_e[g];
+    int64_t placed = -1;
+    for (int64_t b = 0; b < n_blocks; ++b) {
+      if (fill_n[b] + nn <= block_nodes && fill_e[b] + ne <= block_edges) {
+        placed = b;
+        break;
+      }
+    }
+    if (placed < 0) {  // flush: start a new batch
+      if (in_batch == 0) return -1;  // single graph exceeds capacity
+      ++batch;
+      in_batch = 0;
+      for (int64_t b = 0; b < n_blocks; ++b) fill_n[b] = fill_e[b] = 0;
+      placed = 0;
+      if (nn > block_nodes || ne > block_edges) return -1;
+    }
+    out_batch[i] = (int32_t)batch;
+    out_nstart[i] = (int32_t)(placed * block_nodes + fill_n[placed]);
+    out_estart[i] = (int32_t)(placed * block_edges + fill_e[placed]);
+    fill_n[placed] += nn;
+    fill_e[placed] += ne;
+    if (++in_batch == batch_size) {
+      ++batch;
+      in_batch = 0;
+      for (int64_t b = 0; b < n_blocks; ++b) fill_n[b] = fill_e[b] = 0;
+    }
+  }
+  return in_batch ? batch + 1 : batch;
+}
+
 }  // extern "C"

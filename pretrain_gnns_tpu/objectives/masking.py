@@ -9,12 +9,25 @@ from ``h[src] + h[dst]``.
 The reference steps 3 separate Adams with identical hyperparameters over
 trunk/node-head/edge-head (:134-138); since Adam is coordinate-wise, that is
 exactly one Adam over the union — we use one.
+
+Two data paths:
+- ``MaskingObjective`` consumes host-transformed batches (``MaskAtom`` in
+  the loader, like the reference's DataLoader workers).
+- ``FusedMaskingObjective`` consumes CLEAN batches and performs the masking
+  ON DEVICE inside the jitted step (TPU-native redesign): per-graph
+  sampling of ``int(N * rate) + 1`` distinct atoms via a keyed sort, mask
+  application and loss weighting as pure array ops. Same distribution as
+  the reference's ``random.sample`` (uniform distinct subsets; RNG stream
+  parity is explicitly out of scope per SURVEY.md §7f) — and it removes
+  the per-graph python transform + extras padding from the input pipeline
+  entirely, so the loader rides the flat/C++ packer fast path.
 """
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -72,6 +85,133 @@ class MaskingObjective(nn.Module):
             )
             metrics["acc_edge"] = _masked_accuracy(
                 pred_edge, edge_labels, emask
+            )
+        return loss, metrics
+
+
+def sample_masked_nodes(
+    key: jax.Array,
+    node_graph: jnp.ndarray,
+    node_mask: jnp.ndarray,
+    num_graphs: int,
+    mask_rate: float,
+) -> jnp.ndarray:
+    """Device-side analogue of ``random.sample(range(N), int(N*rate)+1)``
+    per graph (chem/util.py:230): draw one uniform per node, rank nodes
+    within their graph by the draw, select the ``int(n_g*rate)+1``
+    lowest-ranked valid nodes of each graph. Returns a bool [N_pad] mask.
+
+    A keyed sort ranks all nodes at once: sort by ``graph_id*2 + u`` (the
+    uniform lives in [0,1), so graphs never interleave), then rank = sorted
+    position minus the graph's first sorted position. TPU note: everything
+    here is sorts, binary searches and gathers — no scatter ops, which XLA
+    serializes into element loops on TPU."""
+    N = node_graph.shape[0]
+    u = jax.random.uniform(key, (N,))
+    sg_ids = jnp.where(node_mask, node_graph, num_graphs).astype(jnp.int32)
+    keys = sg_ids.astype(jnp.float32) * 2.0 + u
+    order = jnp.argsort(keys)
+    sg = jnp.take(sg_ids, order)
+    pos = jnp.arange(N, dtype=jnp.int32)
+    # sg is sorted ascending: each graph's first position by binary search
+    seg_start = jnp.searchsorted(sg, jnp.arange(num_graphs,
+                                                dtype=jnp.int32))
+    rank = pos - jnp.take(seg_start, jnp.minimum(sg, num_graphs - 1))
+    from pretrain_gnns_tpu.ops import segment as seg
+
+    nper = seg.segment_count(node_graph, num_graphs, mask=node_mask)
+    # int(n*rate + 1) with truncation == floor(n*rate) + 1; the epsilon
+    # guards float rounding of exact products (e.g. 20*0.15)
+    n_masked = jnp.floor(nper * mask_rate + 1e-4).astype(jnp.int32) + 1
+    sel = (rank < jnp.take(n_masked, jnp.minimum(sg, num_graphs - 1))) & (
+        sg < num_graphs
+    )
+    # un-permute without a scatter: invert `order` via a second argsort
+    inv_order = jnp.argsort(order)
+    masked = jnp.take(sel, inv_order)
+    return masked & node_mask
+
+
+class FusedMaskingObjective(nn.Module):
+    """Chem attribute masking with ON-DEVICE mask sampling (see module
+    docstring). Consumes clean packed batches; needs an rng stream named
+    ``"mask"``. ``masked_override`` substitutes a precomputed node mask
+    (parity tests against the host-transform path)."""
+
+    num_layer: int = 5
+    emb_dim: int = 300
+    jk: str = "last"
+    drop_ratio: float = 0.0
+    gnn_type: str = "gin"
+    mask_edge: bool = True
+    mask_rate: float = 0.15
+    num_atom_classes: int = 119
+    num_bond_classes: int = 4
+    mask_atom_token: int = 119  # chem/pretrain_masking.py:122
+    mask_bond_token: int = 5  # = num_edge_type (chem/util.py:265-270)
+
+    @nn.compact
+    def __call__(
+        self, g: PackedGraphs, train: bool = False,
+        masked_override: Optional[jnp.ndarray] = None,
+    ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        if masked_override is not None:
+            masked = masked_override & g.node_mask
+        else:
+            masked = sample_masked_nodes(
+                self.make_rng("mask"), g.node_graph, g.node_mask,
+                g.max_graphs, self.mask_rate,
+            )
+
+        nf = jnp.asarray(g.node_feat)  # int32 under the default x64=off
+        node_labels = nf[:, 0]
+        x_in = jnp.where(
+            masked[:, None],
+            jnp.array([self.mask_atom_token, 0], nf.dtype),
+            nf,
+        )
+        edge_feat = jnp.asarray(g.edge_feat)
+        if self.mask_edge:
+            edge_masked = (
+                jnp.take(masked, g.senders) | jnp.take(masked, g.receivers)
+            ) & g.edge_mask
+            edge_feat = jnp.where(
+                edge_masked[:, None],
+                jnp.array([self.mask_bond_token, 0], edge_feat.dtype),
+                edge_feat,
+            )
+        g_in = g.replace(node_feat=x_in, edge_feat=edge_feat)
+
+        h = GNN(self.num_layer, self.emb_dim, self.jk, self.drop_ratio,
+                self.gnn_type, name="gnn")(g_in, train=train)
+
+        # node head over ALL rows, loss weighted by the sampled mask (the
+        # gather-free formulation; the head matmul is ~2% of trunk flops)
+        pred_node = inits.dense(
+            self.num_atom_classes, self.emb_dim, "linear_pred_atoms"
+        )(h)
+        loss = losses.masked_softmax_xent(pred_node, node_labels, masked)
+        metrics = {
+            "acc_node": _masked_accuracy(pred_node, node_labels, masked)
+        }
+
+        if self.mask_edge:
+            # each undirected bond = two consecutive directed edges
+            # (chem/loader.py:81-96; packing preserves pair alignment at
+            # even offsets), so even slots are the per-bond representatives
+            src = g.receivers[::2]
+            dst = g.senders[::2]
+            pair_w = edge_masked[::2] & g.edge_mask[::2]
+            edge_labels = g.edge_feat[::2, 0]
+            edge_rep = jnp.take(h, src, axis=0) + jnp.take(h, dst, axis=0)
+            pred_edge = inits.dense(
+                self.num_bond_classes, self.emb_dim, "linear_pred_bonds"
+            )(edge_rep)
+            loss = loss + losses.masked_softmax_xent(
+                pred_edge, edge_labels, pair_w
+            )
+            metrics["acc_edge"] = _masked_accuracy(
+                pred_edge, edge_labels, pair_w
             )
         return loss, metrics
 

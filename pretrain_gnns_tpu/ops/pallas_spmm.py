@@ -55,12 +55,39 @@ def _round_up(v: int, m: int) -> int:
 # Lane padding policy for the feature dim. Mosaic handles non-128-multiple
 # trailing dims by masking inside VMEM; materializing the pad in HBM
 # (jnp.pad + slice on every call) showed up as ~10% of device time in the
-# train-step profile, so the default is to pass features unpadded.
-_NOPAD = os.environ.get("PGT_SPMM_NOPAD", "1") == "1"
+# train-step profile, so the default is to pass features unpadded — with a
+# one-time lowering probe as an automatic fallback for toolchains whose
+# Mosaic cannot compile unpadded trailing dims (PGT_SPMM_NOPAD=0 forces
+# the padded path without probing).
+_NOPAD_ENV = os.environ.get("PGT_SPMM_NOPAD", "1") == "1"
+_NOPAD: "bool | None" = False if not _NOPAD_ENV else None
+
+
+def _nopad_ok() -> bool:
+    """Probe once: can Mosaic lower a kernel with a 300-wide trailing dim?
+    On CPU/interpret the answer is always yes (no Mosaic involved)."""
+    global _NOPAD
+    if _NOPAD is not None:
+        return _NOPAD
+    try:
+        if jax.default_backend() == "cpu":
+            _NOPAD = True  # interpret mode; no Mosaic lowering involved
+            return _NOPAD
+        f = pl.pallas_call(
+            lambda x_ref, o_ref: o_ref.__setitem__(..., x_ref[...] * 2.0),
+            out_shape=jax.ShapeDtypeStruct((8, 300), jnp.float32),
+        )
+        jax.jit(f).lower(
+            jax.ShapeDtypeStruct((8, 300), jnp.float32)
+        ).compile()
+        _NOPAD = True
+    except Exception:  # pragma: no cover - toolchain dependent
+        _NOPAD = False
+    return _NOPAD
 
 
 def _fp(f: int) -> int:
-    return f if _NOPAD else _round_up(f, 128)
+    return f if _nopad_ok() else _round_up(f, 128)
 
 
 def _pad_f(a: jnp.ndarray, fp: int) -> jnp.ndarray:
@@ -438,9 +465,10 @@ def _fused_call_fwd(x, ein, W, snd, rcv, w, block_nodes, block_edges,
         out_specs=pl.BlockSpec(
             (G * block_nodes, FP), lambda b: (b, 0), **_vmem()
         ),
-        out_shape=jax.ShapeDtypeStruct(
-            (N, FP), x.dtype if has_x else jnp.float32
-        ),
+        # out dtype follows the activations either way (x is provided for
+        # its shape even when has_x=False): keeps the bio-GIN concat's
+        # right half in bf16 under bfloat16_act instead of promoting
+        out_shape=jax.ShapeDtypeStruct((N, FP), x.dtype),
         interpret=interpret,
     )(*args)
     return out[:, :F]

@@ -127,7 +127,7 @@ def make_dp_pretrain_step(
         )
         my_idx = jax.lax.axis_index(axis)
         rng = jax.random.fold_in(state.rng, my_idx)
-        _, drop_rng = jax.random.split(rng)
+        _, drop_rng, mask_rng = jax.random.split(rng, 3)
 
         def loss_fn(params):
             (loss, metrics), mutated = model.apply(
@@ -135,7 +135,7 @@ def make_dp_pretrain_step(
                 *batch,
                 train=True,
                 mutable=["batch_stats"],
-                rngs={"dropout": drop_rng},
+                rngs={"dropout": drop_rng, "mask": mask_rng},
             )
             return loss, (metrics, mutated)
 

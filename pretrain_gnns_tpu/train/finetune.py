@@ -18,7 +18,10 @@ import numpy as np
 import optax
 
 from pretrain_gnns_tpu.core.graphs import Graph, PackedGraphs
-from pretrain_gnns_tpu.data.packing import PackedLoader, choose_blocks
+from pretrain_gnns_tpu.data.packing import (
+    PackedLoader, choose_blocks, make_loader,
+)
+from pretrain_gnns_tpu.data.prefetch import prefetch
 from pretrain_gnns_tpu.models.chem import GNNGraphPred
 from pretrain_gnns_tpu.objectives import losses
 from pretrain_gnns_tpu.train import metrics, optim
@@ -56,6 +59,9 @@ class FinetuneConfig:
     # edge-partitioned halo execution (parallel/halo.py): shard each packed
     # batch's node rows over this many devices; 1 = single-device
     halo_devices: int = 1
+    # also evaluate (and report) the train-split AUC each epoch
+    # (reference --eval_train, chem/finetune.py:205-210)
+    eval_train: bool = False
 
     def __post_init__(self):
         if self.loss_kind is None:
@@ -231,7 +237,10 @@ def init_state(
 ) -> Tuple[TrainState, Any]:
     rng = jax.random.PRNGKey(cfg.runseed)
     rng, init_rng = jax.random.split(rng)
-    variables = model.init(init_rng, sample_batch, train=False)
+    # jitted init (eager init is pathologically slow over remote TPU)
+    variables = jax.jit(
+        lambda k, b: model.init(k, b, train=False)
+    )(init_rng, sample_batch)
     if pretrained_trunk is not None:
         from pretrain_gnns_tpu.compat import import_params
 
@@ -263,19 +272,23 @@ def run_finetune(
     all_graphs = (list(train_graphs) + list(valid_graphs)
                   + list(test_graphs))
     blocks = choose_blocks(all_graphs, cfg.batch_size, cfg.packing)
-    train_loader = PackedLoader(
+    train_loader = make_loader(
         train_graphs, cfg.batch_size, shuffle=True, seed=cfg.runseed,
         extra_pad=extra_pad, blocks=blocks,
     )
     mn, me = train_loader.max_nodes, train_loader.max_edges
     kw = dict(max_nodes=mn, max_edges=me, shuffle=False,
               extra_pad=extra_pad, blocks=blocks)
-    val_loader = PackedLoader(valid_graphs, cfg.batch_size, **kw)
-    test_loader = PackedLoader(test_graphs, cfg.batch_size, **kw)
+    val_loader = make_loader(valid_graphs, cfg.batch_size, **kw)
+    test_loader = make_loader(test_graphs, cfg.batch_size, **kw)
     extra_loaders = {
-        name: PackedLoader(gs, cfg.batch_size, **kw)
+        name: make_loader(gs, cfg.batch_size, **kw)
         for name, gs in (extra_test or {}).items() if gs
     }
+    if cfg.eval_train:
+        extra_loaders["train"] = make_loader(
+            train_graphs, cfg.batch_size, **kw
+        )
 
     sample = next(iter(val_loader))
     state, tx = init_state(cfg, model, sample, pretrained_trunk)
@@ -289,16 +302,26 @@ def run_finetune(
     for name in extra_loaders:
         curves[name] = []
     for epoch in range(1, cfg.epochs + 1):
-        tot, nb = 0.0, 0
-        for batch in train_loader:
+        # losses stay on device; one readback per epoch keeps dispatch
+        # asynchronous (the per-step float(loss) host sync was the
+        # bench-vs-production gap)
+        step_losses, nb = [], 0
+        for batch in prefetch(train_loader):
             state, loss = train_step(state, batch)
-            tot += float(loss)
+            step_losses.append(loss)
             nb += 1
+        tot = float(jnp.sum(jnp.stack(step_losses))) if step_losses else 0.0
         val_auc = evaluate(eval_step, state, val_loader, metric)
         test_auc = evaluate(eval_step, state, test_loader, metric)
         curves["train_loss"].append(tot / max(nb, 1))
         curves["val"].append(val_auc)
         curves["test"].append(test_auc)
+        if epoch == 1 and log:
+            stats = getattr(train_loader, "last_epoch_stats", None)
+            if stats:
+                log(f"loader: {stats['batches']} batches, "
+                    f"{stats['graphs_per_batch']:.1f} graphs/batch "
+                    f"(batch_size={cfg.batch_size})")
         for name, ldr in extra_loaders.items():
             curves[name].append(evaluate(eval_step, state, ldr, metric))
         if log:

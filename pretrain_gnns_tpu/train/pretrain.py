@@ -66,6 +66,48 @@ class PretrainConfig:
     # graph-data parallelism: devices in the mesh's "data" axis
     # (0 = all local devices, 1 = single-device)
     dp_devices: int = 1
+    # device-side multi-step trainer: fuse this many train steps into one
+    # lax.scan dispatch (0 = auto: 16 on accelerators, off on CPU)
+    scan_steps: int = 0
+    # where the chem masking transform runs:
+    #   "host"   per-graph python in the loader (reference-worker style)
+    #   "batch"  ONE vectorized numpy pass over each packed batch in the
+    #            prefetch thread, emitting the same compact extras
+    #            (data/batch_transforms.py) — same objective module,
+    #            zero device overhead; the default
+    #   "device" fused into the jitted step (FusedMaskingObjective)
+    #   "auto"   -> "batch"
+    transform_device: str = "auto"
+    # device-resident dataset (data/device_pack.py): keep the whole flat
+    # dataset in HBM and materialize batches on device from ~10 KB
+    # descriptors. "auto" = on for accelerators (chem masking/infomax,
+    # single-device); "on"/"off" force it
+    device_dataset: str = "auto"
+
+
+def masking_mode(cfg: PretrainConfig) -> str:
+    """Resolve the masking-transform placement for chem masking."""
+    if cfg.objective != "masking" or cfg.domain != "chem":
+        return "host"
+    mode = cfg.transform_device
+    return "batch" if mode == "auto" else mode
+
+
+def use_device_transform(cfg: PretrainConfig) -> bool:
+    return masking_mode(cfg) == "device"
+
+
+def use_device_dataset(cfg: PretrainConfig) -> bool:
+    if cfg.device_dataset == "off" or cfg.dp_devices != 1:
+        return False
+    if cfg.domain != "chem" or cfg.objective not in ("masking", "infomax"):
+        return False
+    if cfg.device_dataset == "on":
+        return True
+    try:
+        return jax.default_backend() != "cpu"
+    except Exception:
+        return False
 
 
 def build_objective(cfg: PretrainConfig):
@@ -86,6 +128,16 @@ def build_objective(cfg: PretrainConfig):
             )
 
             return BioMaskEdgeObjective(**common)
+        if use_device_transform(cfg):
+            from pretrain_gnns_tpu.objectives.masking import (
+                FusedMaskingObjective,
+            )
+
+            return FusedMaskingObjective(
+                mask_edge=cfg.mask_edge, mask_rate=cfg.mask_rate,
+                mask_atom_token=cfg.num_atom_type,
+                mask_bond_token=cfg.num_edge_type, **common,
+            )
         return MaskingObjective(mask_edge=cfg.mask_edge, **common)
     if cfg.objective == "edgepred":
         return EdgePredObjective(**common, **trunk_kw)
@@ -100,6 +152,23 @@ def build_objective(cfg: PretrainConfig):
             context_pooling=cfg.context_pooling, **common, **trunk_kw,
         )
     raise ValueError(cfg.objective)
+
+
+def _try_device_loader(cfg, graphs, blocks, mn, me, drop_last,
+                       mask_spec=None):
+    """DeviceBatchLoader when the dataset flattens cleanly; None = fall
+    back to the host packers."""
+    from pretrain_gnns_tpu.data.device_pack import DeviceBatchLoader
+    from pretrain_gnns_tpu.data.flat import FlatGraphs
+
+    try:
+        flat = FlatGraphs.from_graphs(list(graphs))
+    except (ValueError, IndexError):
+        return None
+    return DeviceBatchLoader(
+        flat, cfg.batch_size, mn, me, seed=cfg.seed, blocks=blocks,
+        drop_last=drop_last, mask_spec=mask_spec,
+    )
 
 
 def build_loader(cfg: PretrainConfig, graphs: Sequence[Graph],
@@ -126,6 +195,42 @@ def build_loader(cfg: PretrainConfig, graphs: Sequence[Graph],
             drop_last=drop_last,
         )
     if cfg.objective == "masking":
+        mode = masking_mode(cfg)
+        if mode in ("batch", "device"):
+            node_budget = int(mn * cfg.mask_rate) + cfg.batch_size + 8
+            if use_device_dataset(cfg):
+                dl = _try_device_loader(
+                    cfg, graphs, blocks, mn, me, drop_last,
+                    mask_spec=(
+                        dict(rate=cfg.mask_rate, mask_edge=cfg.mask_edge,
+                             node_budget=node_budget, edge_budget=me // 2,
+                             atom_token=cfg.num_atom_type,
+                             bond_token=cfg.num_edge_type)
+                        if mode == "batch" else None
+                    ),
+                )
+                if dl is not None:
+                    return dl
+            # clean batches on the flat/C++ packer fast path; "batch" adds
+            # the vectorized masking pass in the prefetch thread
+            from pretrain_gnns_tpu.data.packing import make_loader
+
+            post = None
+            if mode == "batch":
+                from pretrain_gnns_tpu.data.batch_transforms import (
+                    BatchMaskAtom,
+                )
+
+                post = BatchMaskAtom(
+                    num_atom_type=cfg.num_atom_type,
+                    num_edge_type=cfg.num_edge_type,
+                    mask_rate=cfg.mask_rate, mask_edge=cfg.mask_edge,
+                    node_budget=node_budget,
+                    edge_budget=me // 2,
+                )
+            return make_loader(graphs, cfg.batch_size, mn, me,
+                               seed=cfg.seed, blocks=blocks,
+                               drop_last=drop_last, post_transform=post)
         t = transforms.MaskAtom(
             cfg.num_atom_type, cfg.num_edge_type, cfg.mask_rate,
             cfg.mask_edge,
@@ -148,9 +253,16 @@ def build_loader(cfg: PretrainConfig, graphs: Sequence[Graph],
                                        **base_pad},
                             blocks=blocks, drop_last=drop_last)
     if cfg.objective == "infomax":
-        return PackedLoader(graphs, cfg.batch_size, mn, me, seed=cfg.seed,
-                            extra_pad=base_pad or None,
-                            blocks=blocks, drop_last=drop_last)
+        if use_device_dataset(cfg) and not base_pad:
+            dl = _try_device_loader(cfg, graphs, blocks, mn, me, drop_last)
+            if dl is not None:
+                return dl
+        # transform-free: rides the flat/C++ packer fast path
+        from pretrain_gnns_tpu.data.packing import make_loader
+
+        return make_loader(graphs, cfg.batch_size, mn, me, seed=cfg.seed,
+                           extra_pad=base_pad or None,
+                           blocks=blocks, drop_last=drop_last)
     if cfg.objective == "contextpred":
         if cfg.domain == "bio":
             t = transforms.BioExtractSubstructureContextPair(
@@ -167,10 +279,17 @@ def build_loader(cfg: PretrainConfig, graphs: Sequence[Graph],
     raise ValueError(cfg.objective)
 
 
-def make_pretrain_step(model, tx):
-    @jax.jit
-    def step(state: TrainState, *batch):
-        rng, drop_rng = jax.random.split(state.rng)
+def _make_step_body(model, tx, prepare=None):
+    """Shared train-step body. ``prepare(dev, desc)`` (optional) is the
+    on-device batch materialization of the device-resident dataset path;
+    ``dev`` is threaded through as a TRACED argument — never a closure
+    (closure-captured arrays become HLO constants: the whole dataset would
+    be baked into the executable)."""
+
+    def body(state: TrainState, dev, batch):
+        if prepare is not None:
+            batch = (prepare(dev, batch[0]),)
+        rng, drop_rng, mask_rng = jax.random.split(state.rng, 3)
 
         def loss_fn(params):
             (loss, metrics), mutated = model.apply(
@@ -178,7 +297,7 @@ def make_pretrain_step(model, tx):
                 *batch,
                 train=True,
                 mutable=["batch_stats"],
-                rngs={"dropout": drop_rng},
+                rngs={"dropout": drop_rng, "mask": mask_rng},
             )
             return loss, (metrics, mutated)
 
@@ -196,7 +315,62 @@ def make_pretrain_step(model, tx):
         )
         return new_state, loss, metrics
 
+    return body
+
+
+def make_pretrain_step(model, tx, prepare=None, dev=None):
+    body = _make_step_body(model, tx, prepare)
+    if prepare is None:
+        @jax.jit
+        def step(state: TrainState, *batch):
+            return body(state, None, batch)
+
+        return step
+
+    jit_step = jax.jit(
+        lambda state, dev_args, desc: body(state, dev_args, (desc,))
+    )
+
+    def step(state: TrainState, *batch):
+        return jit_step(state, dev, batch[0])
+
     return step
+
+
+def make_scan_pretrain_step(model, tx, prepare=None, dev=None):
+    """Device-side multi-step trainer: one dispatch runs K objective train
+    steps via ``lax.scan`` over a stacked batch pytree (tuple-of-batches
+    leaves ``[K, ...]``). Returns (state, losses [K], metrics {k: [K]})."""
+    step_body = _make_step_body(model, tx, prepare)
+
+    @jax.jit
+    def scan_dev(state: TrainState, dev_args, stacked):
+        def body(st, batch):
+            st, loss, metrics = step_body(st, dev_args, batch)
+            return st, (loss, metrics)
+
+        state, (losses, metrics) = jax.lax.scan(body, state, stacked)
+        return state, losses, metrics
+
+    def scan_steps(state: TrainState, stacked):
+        return scan_dev(state, dev, stacked)
+
+    return scan_steps
+
+
+def _stack(batches):
+    return jax.tree_util.tree_map(
+        lambda *xs: np.stack([np.asarray(x) for x in xs], axis=0), *batches
+    )
+
+
+def resolve_scan_steps(scan_steps: int) -> int:
+    if scan_steps > 0:
+        return scan_steps
+    try:
+        return 16 if jax.default_backend() != "cpu" else 1
+    except Exception:
+        return 1
 
 
 def run_pretrain(
@@ -212,12 +386,27 @@ def run_pretrain(
     end), and an interrupted run resumes from the latest step."""
     model = build_objective(cfg)
     loader = build_loader(cfg, graphs)
+    prepare = getattr(loader, "prepare_pure", None)
+    dev = getattr(loader, "dev", None)
     first = next(iter(loader))
     batch0 = first if isinstance(first, tuple) else (first,)
 
     rng = jax.random.PRNGKey(cfg.seed)
-    rng, init_rng = jax.random.split(rng)
-    variables = model.init(init_rng, *batch0, train=False)
+    rng, init_rng, mask_rng = jax.random.split(rng, 3)
+    # jitted init: eager init dispatches every op separately, which is
+    # seconds-to-minutes over remote-attached TPU runtimes
+    if prepare is not None:
+        variables = jax.jit(
+            lambda k1, k2, d, desc: model.init(
+                {"params": k1, "mask": k2}, prepare(d, desc), train=False
+            )
+        )(init_rng, mask_rng, dev, batch0[0])
+    else:
+        variables = jax.jit(
+            lambda k1, k2, *b: model.init(
+                {"params": k1, "mask": k2}, *b, train=False
+            )
+        )(init_rng, mask_rng, *batch0)
     if "batch_stats" not in variables:
         variables = dict(variables, batch_stats={})
     tx = optim.adam(cfg.lr, cfg.decay)
@@ -236,7 +425,7 @@ def run_pretrain(
             )
         )
     else:
-        step = make_pretrain_step(model, tx)
+        step = make_pretrain_step(model, tx, prepare, dev)
 
     mgr = None
     start_epoch = 1
@@ -254,10 +443,28 @@ def run_pretrain(
             if log:
                 log(f"resumed from step {latest} (epoch {start_epoch})")
 
+    from pretrain_gnns_tpu.data.prefetch import chunked, prefetch
+
+    scan_k = resolve_scan_steps(cfg.scan_steps) if mesh is None else 1
+    scan_step = (
+        make_scan_pretrain_step(model, tx, prepare, dev)
+        if scan_k > 1 else None
+    )
+
     history = []
     for epoch in range(start_epoch, (epochs or cfg.epochs) + 1):
-        tot, nb = 0.0, 0
-        agg: Dict[str, float] = {}
+        # device-side accumulation; ONE host readback per epoch (per-step
+        # float(loss) would serialize dispatch with compute)
+        loss_parts, nb = [], 0
+        agg: Dict[str, list] = {}
+
+        def collect(loss, metrics, k=1):
+            nonlocal nb
+            loss_parts.append(jnp.sum(loss))
+            nb += k
+            for key, v in metrics.items():
+                agg.setdefault(key, []).append(jnp.sum(v))
+
         items = iter(loader)
         if mesh is not None:
             from pretrain_gnns_tpu.parallel import dp
@@ -283,16 +490,53 @@ def run_pretrain(
                     )
                     yield stacked
 
-            items = grouped(items)
-        for item in items:
-            batch = item if isinstance(item, tuple) else (item,)
-            state, loss, metrics = step(state, *batch)
-            tot += float(loss)
-            nb += 1
-            for k, v in metrics.items():
-                agg[k] = agg.get(k, 0.0) + float(v)
+            for batch in grouped(items):
+                state, loss, metrics = step(state, *batch)
+                collect(loss, metrics)
+        else:
+            def make_groups(raw):
+                """Producer (runs on the prefetch thread): normalize,
+                group, stack, and INITIATE the host->device transfer —
+                everything overlaps the in-flight scan dispatches."""
+                norm = (
+                    item if isinstance(item, tuple) else (item,)
+                    for item in raw
+                )
+                if scan_step is None:
+                    for b in norm:
+                        yield ("single", b)
+                    return
+                for group in chunked(norm, scan_k):
+                    if len(group) == scan_k:
+                        stacked = tuple(
+                            jax.device_put(_stack([g[i] for g in group]))
+                            for i in range(len(group[0]))
+                        )
+                        yield ("scan", stacked)
+                    else:  # short tail: per-step path, same shapes
+                        for b in group:
+                            yield ("single", b)
+
+            for kind, payload in prefetch(make_groups(items), depth=2):
+                if kind == "scan":
+                    state, losses, metrics = scan_step(state, payload)
+                    collect(losses, metrics, k=scan_k)
+                else:
+                    state, loss, metrics = step(state, *payload)
+                    collect(loss, metrics)
+
+        tot = float(jnp.sum(jnp.stack(loss_parts))) if loss_parts else 0.0
         row = {"epoch": epoch, "loss": tot / max(nb, 1)}
-        row.update({k: v / max(nb, 1) for k, v in agg.items()})
+        row.update({
+            k: float(jnp.sum(jnp.stack(v))) / max(nb, 1)
+            for k, v in agg.items()
+        })
+        if epoch == start_epoch and log:
+            stats = getattr(loader, "last_epoch_stats", None)
+            if stats:
+                log(f"loader: {stats['batches']} batches, "
+                    f"{stats['graphs_per_batch']:.1f} graphs/batch "
+                    f"(batch_size={cfg.batch_size})")
         history.append(row)
         if log:
             log(" ".join(f"{k}={v:.4f}" if isinstance(v, float) else
@@ -302,7 +546,8 @@ def run_pretrain(
     if mgr:
         mgr.save(int(state.step), state)
         mgr.close()
-    return {"state": state, "history": history, "model": model}
+    return {"state": state, "history": history, "model": model,
+            "loader": loader}
 
 
 def trunk_variables(state: TrainState, trunk_name: str = "gnn") -> Dict:

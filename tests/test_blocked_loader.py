@@ -33,19 +33,14 @@ def test_blocked_masking_pretrain_with_pallas_backend():
     graphs, _ = molecule_dataset(64, seed=9, mean_atoms=12)
     cfg = pretrain.PretrainConfig(
         objective="masking", num_layer=2, emb_dim=16, batch_size=16,
-        epochs=1, mask_edge=True,
+        epochs=1, mask_edge=True, packing="blocked",
     )
-    loader = pretrain.build_loader(cfg, graphs)
-    # swap in a blocked loader with the same transform/extras
-    blocks = block_layout(graphs, 16, block_nodes=64, block_edges=256)
-    blocked = PackedLoader(
-        graphs, 16, blocks=blocks, seed=0, transform=loader.transform,
-        extra_pad=loader.extra_pad, drop_last=True,
-    )
+    blocked = pretrain.build_loader(cfg, graphs)
     import jax
 
     model = pretrain.build_objective(cfg)
     batch = next(iter(blocked))
+    assert batch.block_nodes > 0  # blocked (Pallas) layout active
     spmm.set_backend("pallas")
     try:
         variables = model.init(jax.random.PRNGKey(0), batch, train=False)

@@ -1,0 +1,115 @@
+"""Production input/train pipeline: scan trainer, prefetch, flat fast path
+and DP-supervised must be drop-in equivalent to the per-step paths."""
+
+import json
+
+import numpy as np
+import pytest
+
+import jax
+
+from pretrain_gnns_tpu.data.synthetic import molecule_dataset
+from pretrain_gnns_tpu.train import pretrain
+
+
+def _run(scan_steps):
+    graphs, _ = molecule_dataset(64, num_tasks=2, seed=1, mean_atoms=12)
+    cfg = pretrain.PretrainConfig(
+        objective="masking", num_layer=2, emb_dim=16, batch_size=16,
+        epochs=2, mask_edge=True, packing="standard",
+        scan_steps=scan_steps,
+    )
+    return pretrain.run_pretrain(cfg, graphs, log=None)
+
+
+def test_scan_trainer_matches_per_step():
+    """scan_steps=K runs the SAME sequence of updates as the per-step
+    trainer: identical final parameters and per-epoch losses."""
+    res1 = _run(scan_steps=1)
+    res2 = _run(scan_steps=2)
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(res1["state"].params),
+        jax.tree_util.tree_leaves_with_path(res2["state"].params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-5, err_msg=str(pa))
+    for r1, r2 in zip(res1["history"], res2["history"]):
+        np.testing.assert_allclose(r1["loss"], r2["loss"], rtol=1e-5)
+
+
+def test_supervised_cli_dp(tmp_path):
+    """--dp_devices on the supervised objective (VERDICT r2 item 3)."""
+    from pretrain_gnns_tpu.cli import pretrain as cli
+
+    hist = cli.main([
+        "--objective", "supervised", "--dataset", "synthetic",
+        "--epochs", "1", "--num_layer", "2", "--emb_dim", "16",
+        "--batch_size", "8", "--n_synthetic", "48", "--dp_devices", "2",
+        "--output_model_file", str(tmp_path / "trunk"),
+    ])
+    assert np.isfinite(hist[-1]["loss"])
+    assert (tmp_path / "trunk.pth").exists()
+
+
+def test_finetune_eval_train_curve():
+    """cfg.eval_train adds the per-epoch train-AUC curve
+    (chem/finetune.py:205-210)."""
+    from pretrain_gnns_tpu.train import finetune as ft
+
+    graphs, _ = molecule_dataset(40, num_tasks=2, seed=2, mean_atoms=12)
+    cfg = ft.FinetuneConfig(num_tasks=2, num_layer=2, emb_dim=16,
+                            batch_size=16, epochs=2, eval_train=True,
+                            packing="standard")
+    res = ft.run_finetune(cfg, graphs[:24], graphs[24:32], graphs[32:],
+                          log=None)
+    assert len(res["curves"]["train"]) == 2
+    assert all(np.isfinite(v) for v in res["curves"]["train"])
+
+
+def test_bio_supervised_pretrain_set_matches_reference_logic():
+    """Pretrain set = species trainval + easy half of human test, exactly
+    the reference construction (bio/pretrain_supervised.py:94-101) — and
+    the easy half must coincide with fine-tuning's test_easy."""
+    from pretrain_gnns_tpu.cli.pretrain import (
+        bio_supervised_pretrain_indices,
+    )
+    from pretrain_gnns_tpu.data import splitters
+
+    rng = np.random.default_rng(0)
+    species_pool = [3702, 6239, 511145, 7227, 9606, 10090, 4932, 7955]
+    species = rng.choice(species_pool, size=200)
+
+    got = bio_supervised_pretrain_indices(species, "species", seed=42)
+
+    # oracle: independent re-derivation
+    tv, te = splitters.species_split(species)
+    easy, hard, _ = splitters.random_split(
+        len(te), frac_train=0.5, frac_valid=0.5, frac_test=0.0, seed=42
+    )
+    want = list(tv) + [te[i] for i in easy]
+    assert got == want
+    # no human-hard graph leaks into the pretrain set
+    hard_set = {te[i] for i in hard}
+    assert not (set(got) & hard_set)
+    # all non-human graphs are included
+    assert set(tv) <= set(got)
+
+    got_r = bio_supervised_pretrain_indices(species, "random", seed=1)
+    tr, va, teq = splitters.random_split(len(species), seed=1)
+    assert got_r == list(tr) + list(va)
+    assert len(got_r) == len(species) - len(teq)
+
+
+def test_supervised_cli_dropout_default():
+    """chem supervised defaults to dropout 0.2
+    (chem/pretrain_supervised.py:99); other objectives default to 0."""
+    from pretrain_gnns_tpu.cli import pretrain as cli
+
+    args = cli.build_parser().parse_args(["--objective", "supervised"])
+    assert cli.resolve_dropout(args) == 0.2
+    args = cli.build_parser().parse_args(["--objective", "masking"])
+    assert cli.resolve_dropout(args) == 0.0
+    args = cli.build_parser().parse_args(
+        ["--objective", "supervised", "--dropout_ratio", "0.5"]
+    )
+    assert cli.resolve_dropout(args) == 0.5
