@@ -90,15 +90,29 @@ def _gat_fwd(x, e, e_self, a_i, a_j, senders, receivers, edge_mask,
 
 def _gat_bwd(num_nodes, slope, block_nodes, block_edges, compute_dtype,
              interpret, residuals, g):
-    x, e, e_self, a_i, a_j, senders, receivers, edge_mask = residuals
+    import os
 
+    x, e, e_self, a_i, a_j, senders, receivers, edge_mask = residuals
+    f0 = lambda a: np.zeros(a.shape, jax.dtypes.float0)
+
+    if os.environ.get("PGT_GAT_BWD", "pallas") == "pallas":
+        from pretrain_gnns_tpu.ops import pallas_attention
+
+        dx, de, des, dai, daj = pallas_attention.blocked_gat_backward(
+            x, e, e_self, a_i, a_j, senders, receivers,
+            edge_mask.astype(jnp.float32), g, slope, block_nodes,
+            block_edges, compute_dtype, interpret,
+        )
+        return (dx, de, des, dai, daj, f0(senders), f0(receivers),
+                f0(edge_mask))
+
+    # escape hatch: recompute through the XLA reference path
     def ref(x, e, e_self, a_i, a_j):
         return gat_attention_xla(x, e, e_self, a_i, a_j, senders,
                                  receivers, edge_mask, num_nodes, slope)
 
     _, vjp = jax.vjp(ref, x, e, e_self, a_i, a_j)
     dx, de, des, dai, daj = vjp(g)
-    f0 = lambda a: np.zeros(a.shape, jax.dtypes.float0)
     return dx, de, des, dai, daj, f0(senders), f0(receivers), f0(edge_mask)
 
 

@@ -79,6 +79,50 @@ def main():
               f"{nmat * mm / dt / 1e12:6.1f} TFLOP/s eff  "
               f"{int(p.edge_mask.sum()) / dt / 1e6:8.1f} Medges/s")
 
+    # --- fused GAT attention (SDDMM + segment softmax + aggregation) ----
+    from pretrain_gnns_tpu.ops import attention
+
+    H, D = 2, F
+    xh = jnp.array(rng.normal(size=(N, H, D)).astype(np.float32))
+    eh = jnp.array(rng.normal(size=(E, H, D)).astype(np.float32) * 0.3)
+    esh = jnp.array(rng.normal(size=(H, D)).astype(np.float32) * 0.3)
+    aih = jnp.array(rng.normal(size=(1, H, D)).astype(np.float32) * 0.2)
+    ajh = jnp.array(rng.normal(size=(1, H, D)).astype(np.float32) * 0.2)
+    em = jnp.array(p.edge_mask)
+
+    def bwd_mode(mode):
+        os.environ["PGT_GAT_BWD"] = mode
+
+        def gat_fwdbwd(xx):
+            def f(xx):
+                out = attention._gat_blocked(
+                    xx, eh, esh, aih, ajh, snd, rcv, em, N, 0.2, BN, BE,
+                    jnp.float32, False,
+                )
+                return jnp.sum(out ** 2)
+
+            return jax.grad(f)(xx)
+
+        @jax.jit
+        def run(xx):
+            def body(hh, _):
+                return hh * 0.999 + gat_fwdbwd(hh) * 1e-4, ()
+
+            hh, _ = jax.lax.scan(body, xx, None, length=ITERS)
+            return jnp.sum(hh)
+
+        _ = float(run(xh))
+        t0 = time.perf_counter()
+        final = float(run(xh))
+        dt = (time.perf_counter() - t0) / ITERS
+        assert np.isfinite(final)
+        print(f"gat fwd+bwd [{mode:6s}] {dt * 1e6:8.1f} us  "
+              f"{int(p.edge_mask.sum()) / dt / 1e6:8.1f} Medges/s")
+
+    for mode in ("pallas", "xla"):
+        bwd_mode(mode)
+    os.environ.pop("PGT_GAT_BWD", None)
+
 
 if __name__ == "__main__":
     main()
