@@ -25,7 +25,11 @@ def _blocked_batch(rng, n_graphs=10, block_nodes=32, block_edges=96,
 
 
 def test_blocked_pack_invariants(rng):
-    p = _blocked_batch(rng)
+    rng = np.random.default_rng(11)
+    graphs, _ = molecule_dataset(10, seed=int(rng.integers(1e6)),
+                                 mean_atoms=10)
+    p = G.pack_graphs_blocked(graphs, 4, 32, 96, max_graphs=10,
+                              np_out=True)
     W, EPB = p.block_nodes, p.block_edges
     assert p.node_feat.shape[0] == 4 * W
     assert p.senders.shape[0] == 4 * EPB
@@ -36,10 +40,19 @@ def test_blocked_pack_invariants(rng):
             assert arr.size == 0 or (
                 arr.min() >= b * W and arr.max() < (b + 1) * W
             )
-    # same number of valid nodes/edges as the plain packer would have
-    assert p.node_mask.sum() == sum(
-        1 for _ in range(0)
-    ) + int(p.node_mask.sum())  # smoke
+    # same valid nodes/edges/labels as the plain (contiguous) packer
+    plain = G.pack_graphs(graphs, 4 * 32, 4 * 96, 10, np_out=True)
+    assert int(p.node_mask.sum()) == int(plain.node_mask.sum())
+    assert int(p.edge_mask.sum()) == int(plain.edge_mask.sum())
+    assert int(p.graph_mask.sum()) == int(plain.graph_mask.sum())
+    np.testing.assert_array_equal(p.y, plain.y)
+    # every graph's node rows hold the same features in both layouts
+    for i in range(10):
+        rows_b = p.node_feat[(p.node_graph == i) & p.node_mask]
+        rows_p = plain.node_feat[
+            (plain.node_graph == i) & plain.node_mask
+        ]
+        np.testing.assert_array_equal(rows_b, rows_p)
 
 
 def test_kernel_matches_xla_forward(rng):
