@@ -32,12 +32,12 @@ import numpy as np
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
 
 BATCH_GRAPHS = 256
-N_GRAPHS = 32768
+N_GRAPHS = 16384
 EMB = 300
 LAYERS = 5
 SCAN_K = 16  # train steps fused per dispatch (several groups/epoch
              # keep the prefetch pipeline full across epoch bounds)
-EPOCHS = 4  # 1 compile/warm + 3 timed
+EPOCHS = 6  # 1 compile/warm + 5 timed
 TORCH_STEPS = 5
 NUM_TASKS = 12  # torch-baseline head only
 
@@ -79,8 +79,11 @@ def bench_jax(graphs, dtype_mode):
     inits.set_compute_dtype("float32")
     assert np.isfinite(res["history"][-1]["loss"])
     edges_per_epoch = res["loader"].last_epoch_stats["edges"]
-    dt = times[-1] - times[0]  # excludes epoch 1 (compile + warmup)
-    return edges_per_epoch * (EPOCHS - 1) / dt
+    # epoch 1 pays compilation; the MEDIAN of the remaining per-epoch
+    # times is robust to tunnel/host scheduling hiccups (per-epoch
+    # variance up to ~40% observed on the remote-attached runtime)
+    per_epoch = np.diff(times)
+    return edges_per_epoch / float(np.median(per_epoch))
 
 
 def bench_torch(graphs):
