@@ -56,9 +56,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="train steps fused per device dispatch "
                         "(0 = auto: 16 on accelerators)")
     p.add_argument("--transform_device", default="auto",
-                   choices=["auto", "host", "device"],
-                   help="run the SSL transform in the loader (host) or "
-                        "fused into the jitted step (device; chem masking)")
+                   choices=["auto", "host", "batch", "device"],
+                   help="SSL transform placement (chem masking): per-graph "
+                        "in the loader (host), one vectorized pass per "
+                        "batch (batch, the auto default), or fused into "
+                        "the jitted step (device)")
+    p.add_argument("--device_dataset", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="keep the whole flat dataset in HBM and "
+                        "materialize batches on device (auto = on for "
+                        "accelerators; chem masking/infomax)")
     # masking
     p.add_argument("--mask_rate", type=float, default=0.15)
     p.add_argument("--mask_edge", type=int, default=0)
@@ -248,6 +255,7 @@ def main(argv=None):
             center=bool(args.center), packing=args.packing,
             dp_devices=args.dp_devices, scan_steps=args.scan_steps,
             transform_device=args.transform_device,
+            device_dataset=args.device_dataset,
         )
         res = pretrain.run_pretrain(
             cfg, graphs, log=lambda s: print(s, flush=True),

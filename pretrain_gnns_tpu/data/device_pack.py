@@ -441,6 +441,72 @@ class DeviceBatchLoader:
                 fill_e[:] = 0
         return batch + (1 if in_batch else 0), out_batch, out_ns, out_es
 
+    def epoch_stack(
+        self, steps_cap: int = 0, n_dev: int = 1
+    ) -> Optional[Dict[str, object]]:
+        """Whole-epoch descriptor stream for the epoch-resident trainer:
+        one epoch's descriptors stacked into ``[steps, ...]`` (or
+        ``[steps, n_dev, ...]`` for data parallelism) numpy arrays, ready
+        for a single H2D transfer + one ``lax.scan`` dispatch.
+
+        ``steps_cap`` fixes the static scan length across epochs (the
+        first-fit planner's batch count can drift by ±1-2 with the
+        shuffle): short epochs are padded with a replay of the first
+        descriptor and masked via ``valid``; long epochs return the
+        surplus in ``overflow`` (same per-step shapes, for single-step
+        dispatch). Returns None when the epoch yields no full group.
+        """
+        descs = list(self)
+        stats = dict(self.last_epoch_stats)
+        if n_dev > 1:
+            usable = len(descs) // n_dev * n_dev
+            if usable < len(descs):
+                dropped = descs[usable:]
+                stats["graphs"] -= sum(
+                    int(d["gmask"].sum()) for d in dropped
+                )
+                stats["edges"] -= sum(
+                    int(d["edge_mask"].sum()) for d in dropped
+                )
+                stats["batches"] -= len(dropped)
+                descs = descs[:usable]
+        if not descs:
+            return None
+        steps = len(descs) // max(n_dev, 1)
+        if steps_cap <= 0:
+            steps_cap = steps
+
+        def group(ds: List[Dict[str, np.ndarray]]):
+            """len(ds) == n_dev -> one scan element."""
+            if n_dev <= 1:
+                return ds[0]
+            return {
+                k: np.stack([d[k] for d in ds]) for k in ds[0]
+            }
+
+        elems = [
+            group(descs[i * max(n_dev, 1):(i + 1) * max(n_dev, 1)])
+            for i in range(steps)
+        ]
+        overflow = elems[steps_cap:]
+        elems = elems[:steps_cap]
+        n_real = len(elems)
+        valid = np.zeros(steps_cap, bool)
+        valid[:n_real] = True
+        if n_real < steps_cap:
+            elems = elems + [elems[0]] * (steps_cap - n_real)
+        stacked = {
+            k: np.stack([e[k] for e in elems]) for k in elems[0]
+        }
+        stats["graphs_per_batch"] = stats["graphs"] / max(
+            stats["batches"], 1
+        )
+        self.last_epoch_stats = stats
+        return {
+            "stacked": stacked, "valid": valid, "n_steps": n_real,
+            "overflow": overflow, "stats": stats,
+        }
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         order = np.arange(len(self.flat))
         rng = np.random.default_rng((self.seed, self._epoch))

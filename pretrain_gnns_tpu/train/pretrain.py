@@ -98,7 +98,11 @@ def use_device_transform(cfg: PretrainConfig) -> bool:
 
 
 def use_device_dataset(cfg: PretrainConfig) -> bool:
-    if cfg.device_dataset == "off" or cfg.dp_devices != 1:
+    if cfg.device_dataset == "off":
+        return False
+    if cfg.dp_devices != 1 and resolve_scan_steps(cfg.scan_steps) <= 1:
+        # without the epoch scan, the DP path consumes host-packed
+        # batches (grouped + shard_global_batch), not descriptors
         return False
     if cfg.domain != "chem" or cfg.objective not in ("masking", "infomax"):
         return False
@@ -337,6 +341,122 @@ def make_pretrain_step(model, tx, prepare=None, dev=None):
     return step
 
 
+def _masked_step(step_fn, state, xs):
+    """Run one scan-element step; when ``v`` is False the step is a no-op
+    (state passed through via a cheap elementwise select — padded steps
+    must not advance rng/Adam moments/BN stats)."""
+    import jax.numpy as jnp
+
+    desc, v = xs
+    st2, loss, metrics = step_fn(state, desc)
+    st2 = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(v, a, b), st2, state
+    )
+    loss = jnp.where(v, loss, jnp.zeros_like(loss))
+    metrics = jax.tree_util.tree_map(
+        lambda m: jnp.where(v, m, jnp.zeros_like(m)), metrics
+    )
+    return st2, (loss, metrics)
+
+
+def make_epoch_pretrain_step(model, tx, prepare, dev):
+    """Epoch-resident trainer: the WHOLE epoch's descriptor stream lives in
+    HBM (``DeviceBatchLoader.epoch_stack``) and one ``lax.scan`` dispatch
+    runs every train step of the epoch — zero per-step host involvement
+    (the reference re-enters python per batch, chem/pretrain_masking.py:42).
+    Returns (state, losses [cap], metrics {k: [cap]}); padded steps
+    contribute zeros and leave the state untouched."""
+    step_body = _make_step_body(model, tx, prepare)
+
+    @jax.jit
+    def epoch_dev(state: TrainState, dev_args, stacked, valid):
+        def body(st, xs):
+            return _masked_step(
+                lambda s, d: step_body(s, dev_args, (d,)), st, xs
+            )
+
+        return jax.lax.scan(body, state, (stacked, valid))
+
+    def run(state: TrainState, stacked, valid):
+        state, (losses, metrics) = epoch_dev(state, dev, stacked, valid)
+        return state, losses, metrics
+
+    return run
+
+
+def make_epoch_dp_pretrain_step(model, tx, mesh, prepare, dev,
+                                axis: str = "data"):
+    """Data-parallel epoch-resident trainer: descriptors ``[cap, n_dev,
+    ...]`` sharded over the mesh's data axis, resident arrays replicated;
+    the scan runs INSIDE one shard_map so the per-step collectives
+    (grad psum, sync-BN pmean) ride ICI with no per-step host dispatch.
+    RNG/optimizer semantics mirror ``dp.make_dp_pretrain_step``."""
+    import optax as _optax
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def whole(state: TrainState, dev_args, stacked, valid):
+        def per_device_step(st: TrainState, desc):
+            local = jax.tree_util.tree_map(lambda x: x[0], desc)
+            my_idx = jax.lax.axis_index(axis)
+            rng = jax.random.fold_in(st.rng, my_idx)
+            _, drop_rng, mask_rng = jax.random.split(rng, 3)
+            batch = (prepare(dev_args, local),)
+
+            def loss_fn(params):
+                (loss, metrics), mutated = model.apply(
+                    {"params": params, "batch_stats": st.batch_stats},
+                    *batch,
+                    train=True,
+                    mutable=["batch_stats"],
+                    rngs={"dropout": drop_rng, "mask": mask_rng},
+                )
+                return loss, (metrics, mutated)
+
+            (loss, (metrics, mutated)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(st.params)
+            # shard_map auto-psums the cotangent of replicated (P())
+            # inputs: `grads` is already the cross-device SUM (an extra
+            # pmean would be identity on the replicated value) — divide
+            # for the mean, as in dp.make_dp_pretrain_step
+            n_dev = mesh.shape[axis]
+            grads = jax.tree_util.tree_map(lambda g: g / n_dev, grads)
+            loss = jax.lax.pmean(loss, axis)
+            metrics = jax.tree_util.tree_map(
+                lambda m: jax.lax.pmean(m, axis), metrics
+            )
+            stats = jax.lax.pmean(mutated["batch_stats"], axis)
+            updates, opt_state = tx.update(grads, st.opt_state,
+                                           st.params)
+            params = _optax.apply_updates(st.params, updates)
+            return st.replace(
+                step=st.step + 1,
+                params=params,
+                batch_stats=stats,
+                opt_state=opt_state,
+                rng=jax.random.split(st.rng)[0],
+            ), loss, metrics
+
+        def body(st, xs):
+            return _masked_step(per_device_step, st, xs)
+
+        return jax.lax.scan(body, state, (stacked, valid))
+
+    sharded = jax.jit(shard_map(
+        whole,
+        mesh=mesh,
+        in_specs=(P(), P(), P(None, axis), P()),
+        out_specs=(P(), (P(), P())),
+    ))
+
+    def run(state: TrainState, stacked, valid):
+        state, (losses, metrics) = sharded(state, dev, stacked, valid)
+        return state, losses, metrics
+
+    return run
+
+
 def make_scan_pretrain_step(model, tx, prepare=None, dev=None):
     """Device-side multi-step trainer: one dispatch runs K objective train
     steps via ``lax.scan`` over a stacked batch pytree (tuple-of-batches
@@ -371,6 +491,90 @@ def resolve_scan_steps(scan_steps: int) -> int:
         return 16 if jax.default_backend() != "cpu" else 1
     except Exception:
         return 1
+
+
+def _run_epoch_mode(loader, state, epoch_step, desc_sharding,
+                    valid_sharding, group_w, history, log, start_epoch,
+                    last_epoch, mgr, checkpoint_every):
+    """Epoch-resident training loop. Per epoch the host does exactly:
+    (a) build the next epoch's descriptor stack on the prefetch thread
+    (overlapped with the in-flight epoch's device compute), (b) ONE
+    device_put of the ~MB stack, (c) one scan dispatch, (d) the PREVIOUS
+    epoch's loss readback — deferred until after the next dispatch so the
+    device never drains."""
+    from pretrain_gnns_tpu.data.prefetch import prefetch
+
+    steps_cap = max(len(loader) // group_w, 1)
+
+    def put(tree, sharding):
+        if sharding is None:
+            return jax.device_put(tree)
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, sharding), tree
+        )
+
+    def payloads():
+        for ep in range(start_epoch, last_epoch + 1):
+            pack = loader.epoch_stack(steps_cap=steps_cap, n_dev=group_w)
+            if pack is None:
+                yield ep, None
+                continue
+            stacked = put(pack["stacked"], desc_sharding)
+            valid = put(pack["valid"], valid_sharding)
+            yield ep, (stacked, valid, pack)
+
+    def finalize(p):
+        ep, loss_sum, metric_sums, nb, stats = p
+        row = {"epoch": ep, "loss": float(loss_sum) / max(nb, 1)}
+        row.update(
+            {k: float(v) / max(nb, 1) for k, v in metric_sums.items()}
+        )
+        if ep == start_epoch and log and stats:
+            log(f"loader: {stats['batches']} batches, "
+                f"{stats['graphs_per_batch']:.1f} graphs/batch "
+                f"(epoch-resident scan, {steps_cap} steps/dispatch)")
+        history.append(row)
+        if log:
+            log(" ".join(f"{k}={v:.4f}" if isinstance(v, float) else
+                         f"{k}={v}" for k, v in row.items()))
+
+    pending = None
+    for ep, payload in prefetch(payloads(), depth=2):
+        if payload is None:
+            if pending is not None:
+                finalize(pending)
+                pending = None
+            finalize((ep, 0.0, {}, 0, None))
+            continue
+        stacked, valid, pack = payload
+        state, losses, metrics = epoch_step(state, stacked, valid)
+        loss_sum = jnp.sum(losses)
+        metric_sums = {k: jnp.sum(v) for k, v in metrics.items()}
+        nb = pack["n_steps"]
+        for ov in pack["overflow"]:
+            # surplus batches beyond the static cap: same per-step shapes,
+            # dispatched as a length-1 scan
+            ovs = put(
+                jax.tree_util.tree_map(
+                    lambda x: np.asarray(x)[None], ov
+                ),
+                desc_sharding,
+            )
+            ovalid = put(np.ones(1, bool), valid_sharding)
+            state, l1, m1 = epoch_step(state, ovs, ovalid)
+            loss_sum = loss_sum + jnp.sum(l1)
+            metric_sums = {
+                k: metric_sums[k] + jnp.sum(m1[k]) for k in metric_sums
+            }
+            nb += 1
+        if pending is not None:
+            finalize(pending)
+        pending = (ep, loss_sum, metric_sums, nb, pack["stats"])
+        if mgr and checkpoint_every and ep % checkpoint_every == 0:
+            mgr.save(int(state.step), state)
+    if pending is not None:
+        finalize(pending)
+    return state
 
 
 def run_pretrain(
@@ -413,17 +617,33 @@ def run_pretrain(
     state = TrainState.create(variables, tx, rng)
     n_dev = cfg.dp_devices if cfg.dp_devices > 0 else jax.device_count()
     mesh = None
+    scan_k = resolve_scan_steps(cfg.scan_steps)
+    # epoch-resident trainer: whole epoch of descriptors in HBM, one scan
+    # dispatch per epoch (composes with DP: descriptors sharded over the
+    # data axis, resident arrays replicated)
+    epoch_mode = prepare is not None and scan_k > 1
+    group_w = n_dev if n_dev > 1 else 1
     if n_dev > 1:
         from pretrain_gnns_tpu.parallel import dp
         from pretrain_gnns_tpu.parallel.mesh import make_mesh
+        from jax.sharding import NamedSharding, PartitionSpec as P
 
         mesh = make_mesh(n_dev)
-        step = dp.make_dp_pretrain_step(model, tx, mesh)
-        state = jax.device_put(
-            state, jax.sharding.NamedSharding(
-                mesh, jax.sharding.PartitionSpec()
+        state = jax.device_put(state, NamedSharding(mesh, P()))
+        if epoch_mode:
+            dev = jax.device_put(dev, NamedSharding(mesh, P()))
+            epoch_step = make_epoch_dp_pretrain_step(
+                model, tx, mesh, prepare, dev
             )
-        )
+            desc_sharding = NamedSharding(mesh, P(None, "data"))
+            valid_sharding = NamedSharding(mesh, P())
+            step = None
+        else:
+            step = dp.make_dp_pretrain_step(model, tx, mesh)
+    elif epoch_mode:
+        epoch_step = make_epoch_pretrain_step(model, tx, prepare, dev)
+        desc_sharding = valid_sharding = None
+        step = None
     else:
         step = make_pretrain_step(model, tx, prepare, dev)
 
@@ -445,13 +665,25 @@ def run_pretrain(
 
     from pretrain_gnns_tpu.data.prefetch import chunked, prefetch
 
-    scan_k = resolve_scan_steps(cfg.scan_steps) if mesh is None else 1
+    history = []
+    if epoch_mode:
+        state = _run_epoch_mode(
+            loader, state, epoch_step, desc_sharding, valid_sharding,
+            group_w, history, log, start_epoch, epochs or cfg.epochs,
+            mgr, checkpoint_every,
+        )
+        if mgr:
+            mgr.save(int(state.step), state)
+            mgr.close()
+        return {"state": state, "history": history, "model": model,
+                "loader": loader}
+
+    scan_k = scan_k if mesh is None else 1
     scan_step = (
         make_scan_pretrain_step(model, tx, prepare, dev)
         if scan_k > 1 else None
     )
 
-    history = []
     for epoch in range(start_epoch, (epochs or cfg.epochs) + 1):
         # device-side accumulation; ONE host readback per epoch (per-step
         # float(loss) would serialize dispatch with compute)

@@ -57,23 +57,26 @@ def main():
     rows = []
     base = None
     for w in widths:
+        # the PRODUCTION pipeline: device-resident dataset + whole-epoch
+        # lax.scan trainer, composed with DP (descriptors sharded over the
+        # data axis) — the same path bench.py times on hardware
         cfg = pretrain.PretrainConfig(
             objective="masking", num_layer=5, emb_dim=args.emb_dim,
             batch_size=args.batch_size, mask_edge=False,
             packing="standard", transform_device="batch",
-            dp_devices=w, scan_steps=1, seed=0,
+            device_dataset="on", dp_devices=w, scan_steps=8, seed=0,
         )
-        # epoch 1 = compile+warm; epoch 2 timed via the log callback
+        # epoch 1 = compile+warm; later epochs timed via the log callback
         times = []
 
         def logcb(s):
             if s.startswith("epoch"):
                 times.append(time.perf_counter())
 
-        res = pretrain.run_pretrain(cfg, graphs, log=logcb, epochs=2)
+        res = pretrain.run_pretrain(cfg, graphs, log=logcb, epochs=3)
         edges = res["loader"].last_epoch_stats["edges"]
         # DP drops leftover groups; count edges actually consumed
-        dt = times[-1] - times[-2]
+        dt = float(np.median(np.diff(times)))
         eps = edges / dt
         row = {"devices": w, "edges_per_sec": round(eps, 1)}
         if base is None:
