@@ -171,7 +171,18 @@ def _supervised(args, graphs, meta):
     n_dev = args.dp_devices if args.dp_devices > 0 else jax.device_count()
     mesh = None
     if cfg.halo_devices > 1:
-        step, _ = ft.make_halo_steps(cfg, tx)
+        step, _, sharder = ft.make_halo_steps(cfg, tx)
+        state = jax.device_put(
+            state, jax.sharding.NamedSharding(
+                sharder.mesh, jax.sharding.PartitionSpec()
+            )
+        )
+        # static shard buffers from one deterministic pass (single compile
+        # across all epochs)
+        sharder.reserve(iter(make_loader(
+            graphs, cfg.batch_size, seed=args.seed, drop_last=True,
+            extra_pad=extra_pad, blocks=blocks, shuffle=False,
+        )))
     elif n_dev > 1:
         # graph-data parallelism for the supervised stage
         # (chem/pretrain_supervised.py has no distributed path; ours DDPs

@@ -51,12 +51,53 @@ from pretrain_gnns_tpu.models.chem import SELF_LOOP_BOND_TYPE
 BIO_SELF_LOOP_DIM = 7  # bio/model.py:43
 
 
-def shard_packed(packed: PackedGraphs, n_shards: int) -> PackedGraphs:
+def _run_positions(group_ids: np.ndarray) -> np.ndarray:
+    """Position of each element within its (sorted, contiguous) group."""
+    n = len(group_ids)
+    if not n:
+        return np.zeros(0, np.int64)
+    starts = np.flatnonzero(np.diff(group_ids, prepend=-1))
+    lens = np.diff(np.append(starts, n))
+    return np.arange(n) - np.repeat(starts, lens)
+
+
+def route_stats(packed: PackedGraphs,
+                n_shards: int) -> Tuple[int, int]:
+    """(max edges routed to one shard, max boundary rows on one (src, dst)
+    pair) for this batch — the quantities that size the static halo
+    buffers. Vectorized; no allocation of the routed arrays."""
+    N = packed.node_feat.shape[0]
+    n_loc = N // n_shards
+    emask = np.asarray(packed.edge_mask)
+    rcv = np.asarray(packed.receivers)[emask]
+    snd = np.asarray(packed.senders)[emask]
+    dst = rcv // n_loc
+    src = snd // n_loc
+    e_need = int(np.bincount(dst, minlength=n_shards).max(initial=0))
+    rm = src != dst
+    key = (dst[rm].astype(np.int64) * n_shards + src[rm]) * N + snd[rm]
+    uk = np.unique(key)
+    b_need = int(
+        np.bincount(uk // N, minlength=n_shards * n_shards).max(initial=0)
+    )
+    return max(e_need, 1), max(b_need, 1)
+
+
+def shard_packed(packed: PackedGraphs, n_shards: int,
+                 e_loc: Optional[int] = None,
+                 b_max: Optional[int] = None) -> PackedGraphs:
     """Host-side: reorganize a (numpy) PackedGraphs for edge-partitioned
     execution. Node rows are split into ``n_shards`` contiguous shards
     (N_pad must divide); edges are routed to their receiver's shard and
     padded per-shard to a common count. All leaves gain a leading
     ``[n_shards, ...]`` axis for ``shard_map`` with ``P(axis)``.
+
+    ``e_loc`` / ``b_max`` fix the routed-edge and boundary-row buffer
+    sizes — pass DATASET-level maxima (``HaloSharder``) so every batch of
+    a run produces identical shapes and the jitted halo step compiles
+    exactly once; omitted, they are sized to this batch (the r3 behavior,
+    which recompiles on heavy-tailed data). ValueError if the batch
+    exceeds a given size.
 
     Boundary metadata (extras, leading axis = shard axis):
       halo_send_idx    [n_shards, n_shards, b_max] — row ``[p, s]`` lists the
@@ -83,56 +124,58 @@ def shard_packed(packed: PackedGraphs, n_shards: int) -> PackedGraphs:
     emask = np.asarray(packed.edge_mask)
     ef = np.asarray(packed.edge_feat)
 
-    owner = rcv // n_loc
-    per_shard = [np.where(emask & (owner == s))[0] for s in range(n_shards)]
-    e_loc = max(int(max(len(ix) for ix in per_shard)), 1)
-    # round up for lane friendliness
-    e_loc = (e_loc + 127) // 128 * 128
+    # ---- receiver-shard routing (one stable sort; per-shard original
+    # edge order preserved)
+    valid = np.flatnonzero(emask)
+    dst = rcv[valid] // n_loc
+    order = np.argsort(dst, kind="stable")
+    vsort = valid[order]
+    dst_s = dst[order]
+    e_counts = np.bincount(dst_s, minlength=n_shards)
+    e_need = max(int(e_counts.max(initial=0)), 1)
+    if e_loc is None:
+        # round up for lane friendliness
+        e_loc = (e_need + 127) // 128 * 128
+    elif e_need > e_loc:
+        raise ValueError(f"{e_need} routed edges > e_loc buffer {e_loc}")
+    epos = _run_positions(dst_s)
 
     def route(arr, fill=0):
         out = np.full((n_shards, e_loc) + arr.shape[1:], fill, arr.dtype)
-        for s, ix in enumerate(per_shard):
-            out[s, : len(ix)] = arr[ix]
+        out[dst_s, epos] = arr[vsort]
         return out
 
     new_emask = np.zeros((n_shards, e_loc), bool)
-    for s, ix in enumerate(per_shard):
-        new_emask[s, : len(ix)] = True
+    new_emask[dst_s, epos] = True
 
-    # ---- boundary send lists (unique remote senders per (src, dst) pair)
-    uniq_lists: Dict[Tuple[int, int], np.ndarray] = {}
-    shard_snd = [snd[ix] for ix in per_shard]
-    for s in range(n_shards):
-        owners_s = shard_snd[s] // n_loc
-        for p in range(n_shards):
-            if p == s:
-                continue
-            rows = np.unique(shard_snd[s][owners_s == p])
-            if rows.size:
-                uniq_lists[(p, s)] = rows - p * n_loc
-    b_max = max([len(v) for v in uniq_lists.values()] or [1])
-    b_max = max((b_max + 7) // 8 * 8, 8)
+    # ---- boundary send lists (unique remote senders per (src, dst)
+    # shard pair), via one np.unique over a packed (dst, src, sender) key
+    sg = snd[vsort]
+    src_s = sg // n_loc
+    rm = src_s != dst_s
+    key = (dst_s[rm].astype(np.int64) * n_shards + src_s[rm]) * N + sg[rm]
+    uk, inv = np.unique(key, return_inverse=True)
+    u_sp = uk // N  # = dst * n_shards + src, sorted => groups contiguous
+    u_snd = uk % N
+    b_counts = np.bincount(u_sp, minlength=n_shards * n_shards)
+    b_need = max(int(b_counts.max(initial=0)), 1)
+    if b_max is None:
+        b_max = max((b_need + 7) // 8 * 8, 8)
+    elif b_need > b_max:
+        raise ValueError(f"{b_need} boundary rows > b_max buffer {b_max}")
+    upos = _run_positions(u_sp)
 
+    u_dst = u_sp // n_shards
+    u_src = u_sp % n_shards
     send_idx = np.zeros((n_shards, n_shards, b_max), np.int32)
-    counts = np.zeros((n_shards, n_shards), np.int32)
-    for (p, s), rows in uniq_lists.items():
-        send_idx[p, s, : len(rows)] = rows
-        counts[p, s] = len(rows)
+    send_idx[u_src, u_dst, upos] = (u_snd - u_src * n_loc).astype(np.int32)
+    counts = b_counts.reshape(n_shards, n_shards).T.astype(np.int32)
 
     senders_ext = np.zeros((n_shards, e_loc), np.int32)
-    for s in range(n_shards):
-        sends = shard_snd[s]
-        owners_s = sends // n_loc
-        ext = np.zeros(len(sends), np.int64)
-        local_m = owners_s == s
-        ext[local_m] = sends[local_m] - s * n_loc
-        for p in range(n_shards):
-            if p == s or (p, s) not in uniq_lists:
-                continue
-            m = owners_s == p
-            pos = np.searchsorted(uniq_lists[(p, s)], sends[m] - p * n_loc)
-            ext[m] = n_loc + p * b_max + pos
-        senders_ext[s, : len(ext)] = ext
+    ext = np.where(rm, 0, sg - dst_s * n_loc)
+    if len(uk):
+        ext[rm] = n_loc + u_src[inv] * b_max + upos[inv]
+    senders_ext[dst_s, epos] = ext
 
     reshape_nodes = lambda a: np.asarray(a).reshape(
         (n_shards, n_loc) + np.asarray(a).shape[1:]
@@ -164,6 +207,76 @@ def put_sharded(sharded: PackedGraphs, mesh: Mesh,
     return jax.tree_util.tree_map(
         lambda a: jax.device_put(np.asarray(a), sh), sharded
     )
+
+
+class HaloSharder:
+    """Static-shape halo sharding across heterogeneous batches.
+
+    r3's ``shard_packed`` sized ``e_loc``/``b_max`` from the batch at
+    hand, so heavy-tailed data (the giant-ego-network workload halo
+    exists for) produced a new shard shape — and a full XLA recompile of
+    the jitted halo step — every few batches. This wrapper derives the
+    buffer sizes ONCE from dataset-level maxima (``reserve`` over any
+    iterable of packed batches, e.g. the deterministic eval loaders plus
+    one unshuffled pass over the train set) plus a slack factor, then
+    emits identically-shaped shards for every batch. A batch exceeding
+    the reserve (possible under reshuffled packing) grows the buffers —
+    one amortized recompile, counted in ``regrows`` — instead of
+    thrashing per batch."""
+
+    def __init__(self, n_shards: int, mesh: Optional[Mesh] = None,
+                 axis: str = "edge", slack: float = 1.25):
+        self.n_shards = n_shards
+        self.mesh = mesh
+        self.axis = axis
+        self.slack = slack
+        self.e_loc: Optional[int] = None
+        self.b_max: Optional[int] = None
+        self.regrows = 0
+        self.host_ms_per_batch: Optional[float] = None
+
+    def _grow(self, e_need: int, b_need: int):
+        if self.e_loc is not None:
+            self.regrows += 1
+        self.e_loc = (
+            max(int(e_need * self.slack), 1) + 127
+        ) // 128 * 128
+        self.b_max = max(
+            (max(int(b_need * self.slack), 1) + 7) // 8 * 8, 8
+        )
+
+    def reserve(self, batches) -> "HaloSharder":
+        """Size the buffers from the maxima over ``batches`` (no routed
+        arrays are built — route_stats only)."""
+        e_need = b_need = 1
+        for b in batches:
+            e, bb = route_stats(b, self.n_shards)
+            e_need, b_need = max(e_need, e), max(b_need, bb)
+        prev = self.regrows
+        self._grow(e_need, b_need)
+        self.regrows = prev  # reserving is not a regrow
+        return self
+
+    def shard(self, batch: PackedGraphs) -> PackedGraphs:
+        import time
+
+        t0 = time.perf_counter()
+        e_need, b_need = route_stats(batch, self.n_shards)
+        if (self.e_loc is None or e_need > self.e_loc
+                or b_need > self.b_max):
+            self._grow(e_need, b_need)
+        out = shard_packed(batch, self.n_shards, self.e_loc, self.b_max)
+        dt = (time.perf_counter() - t0) * 1e3
+        self.host_ms_per_batch = (
+            dt if self.host_ms_per_batch is None
+            else 0.9 * self.host_ms_per_batch + 0.1 * dt
+        )
+        return out
+
+    def shard_put(self, batch: PackedGraphs) -> PackedGraphs:
+        if self.mesh is None:
+            raise ValueError("HaloSharder built without a mesh")
+        return put_sharded(self.shard(batch), self.mesh, self.axis)
 
 
 # ---------------------------------------------------------------------------

@@ -162,7 +162,10 @@ def make_halo_steps(cfg: "FinetuneConfig", tx):
     """Edge-partitioned train/eval steps (parallel/halo.py): each packed
     batch is node-sharded over ``cfg.halo_devices`` devices per step, with
     boundary-only all-to-all feature exchange inside every conv layer.
-    Drop-in replacements for (make_train_step, make_eval_step)."""
+    Returns (train_step, eval_step, sharder): the steps accept HOST
+    batches and shard through the returned ``HaloSharder`` — reserve it
+    with dataset-level batches first so every shard has identical static
+    shapes and the jitted steps compile once."""
     from pretrain_gnns_tpu.parallel import halo as halolib
     from pretrain_gnns_tpu.parallel import mesh as meshlib
 
@@ -180,20 +183,22 @@ def make_halo_steps(cfg: "FinetuneConfig", tx):
     apply_raw = halolib.make_halo_graphpred_apply(
         hmesh, cfg.num_layer, gnn_type=cfg.gnn_type, domain=cfg.domain,
     )
-
-    def _shard(batch):
-        return halolib.put_sharded(halolib.shard_packed(batch, n), hmesh)
+    sharder = halolib.HaloSharder(n, hmesh)
 
     def train_step(state, batch):
-        return step_raw(state, _shard(batch))
+        if isinstance(batch, PackedGraphs) and batch.node_feat.ndim == 2:
+            batch = sharder.shard_put(batch)
+        return step_raw(state, batch)
 
     def eval_step(state, batch):
+        if isinstance(batch, PackedGraphs) and batch.node_feat.ndim == 2:
+            batch = sharder.shard_put(batch)
         return apply_raw(
             {"params": state.params, "batch_stats": state.batch_stats},
-            _shard(batch),
+            batch,
         )
 
-    return train_step, eval_step
+    return train_step, eval_step, sharder
 
 
 def make_eval_step(model):
@@ -211,12 +216,19 @@ def make_eval_step(model):
 def evaluate(eval_step, state, loader: PackedLoader,
              metric: str = "chem_auc") -> float:
     """Run the model over a loader, collect valid-graph scores/labels, and
-    compute the protocol metric on host (chem/finetune.py:49-77)."""
+    compute the protocol metric on host (chem/finetune.py:49-77). Items
+    may be ``(host_batch, device_batch)`` pairs — the pre-sharded halo
+    eval path — in which case labels come from the host copy and the step
+    consumes the device copy."""
     ys, ss = [], []
     for batch in loader:
-        out = np.asarray(eval_step(state, batch))
-        m = np.asarray(batch.graph_mask)
-        ys.append(np.asarray(batch.y)[m])
+        if isinstance(batch, tuple):
+            host, dev = batch
+        else:
+            host = dev = batch
+        out = np.asarray(eval_step(state, dev))
+        m = np.asarray(host.graph_mask)
+        ys.append(np.asarray(host.y)[m])
         ss.append(out[m])
     y = np.concatenate(ys)
     s = np.concatenate(ss)
@@ -292,8 +304,40 @@ def run_finetune(
 
     sample = next(iter(val_loader))
     state, tx = init_state(cfg, model, sample, pretrained_trunk)
+    eval_sets = dict(val=val_loader, test=test_loader, **extra_loaders)
+    train_iter = lambda: prefetch(train_loader)
     if cfg.halo_devices > 1:
-        train_step, eval_step = make_halo_steps(cfg, tx)
+        train_step, eval_step, sharder = make_halo_steps(cfg, tx)
+        # replicate the state onto the halo mesh up-front — the first
+        # step would otherwise compile twice (uncommitted vs replicated
+        # argument shardings)
+        state = jax.device_put(
+            state, jax.sharding.NamedSharding(
+                sharder.mesh, jax.sharding.PartitionSpec()
+            )
+        )
+        # static halo buffers from DATASET-level maxima, derived ONCE: the
+        # deterministic eval loaders plus one unshuffled pass over the
+        # train set (r3 sized them per batch -> a recompile per distinct
+        # shard shape on heavy-tailed data)
+        prescan_loader = make_loader(train_graphs, cfg.batch_size, **kw)
+
+        def all_batches():
+            for ldr in (prescan_loader, *eval_sets.values()):
+                yield from ldr
+
+        sharder.reserve(all_batches())
+        # eval batches re-pack identically every epoch: shard + upload
+        # them ONCE, keep the host copy for labels/masks
+        eval_sets = {
+            name: [(b, sharder.shard_put(b)) for b in ldr]
+            for name, ldr in eval_sets.items()
+        }
+        # train batches are sharded on the prefetch thread, overlapped
+        # with the in-flight device step
+        train_iter = lambda: prefetch(
+            map(sharder.shard_put, train_loader)
+        )
     else:
         train_step = make_train_step(model, tx, cfg.loss_kind)
         eval_step = make_eval_step(model)
@@ -306,13 +350,13 @@ def run_finetune(
         # asynchronous (the per-step float(loss) host sync was the
         # bench-vs-production gap)
         step_losses, nb = [], 0
-        for batch in prefetch(train_loader):
+        for batch in train_iter():
             state, loss = train_step(state, batch)
             step_losses.append(loss)
             nb += 1
         tot = float(jnp.sum(jnp.stack(step_losses))) if step_losses else 0.0
-        val_auc = evaluate(eval_step, state, val_loader, metric)
-        test_auc = evaluate(eval_step, state, test_loader, metric)
+        val_auc = evaluate(eval_step, state, eval_sets["val"], metric)
+        test_auc = evaluate(eval_step, state, eval_sets["test"], metric)
         curves["train_loss"].append(tot / max(nb, 1))
         curves["val"].append(val_auc)
         curves["test"].append(test_auc)
@@ -322,8 +366,10 @@ def run_finetune(
                 log(f"loader: {stats['batches']} batches, "
                     f"{stats['graphs_per_batch']:.1f} graphs/batch "
                     f"(batch_size={cfg.batch_size})")
-        for name, ldr in extra_loaders.items():
-            curves[name].append(evaluate(eval_step, state, ldr, metric))
+        for name in extra_loaders:
+            curves[name].append(
+                evaluate(eval_step, state, eval_sets[name], metric)
+            )
         if log:
             log(
                 f"epoch {epoch}: loss {curves['train_loss'][-1]:.4f} "
