@@ -27,6 +27,31 @@ import numpy as np
 from pretrain_gnns_tpu.core.graphs import PackedGraphs
 
 
+def sample_per_group_np(
+    rng: np.random.Generator,
+    group_ids: np.ndarray,
+    valid: np.ndarray,
+    num_groups: int,
+    rate: float,
+) -> np.ndarray:
+    """Vectorized uniform distinct sampling of ``int(cnt * rate) + 1``
+    items per group (the reference's ``random.sample`` semantics): rank
+    items within their group by an iid uniform draw, keep the lowest."""
+    N = group_ids.shape[0]
+    u = rng.random(N)
+    sg = np.where(valid, group_ids, num_groups)
+    order = np.argsort(sg * 2.0 + u)
+    sgs = sg[order]
+    seg_start = np.searchsorted(sgs, np.arange(num_groups))
+    rank = np.arange(N) - seg_start[np.minimum(sgs, num_groups - 1)]
+    nper = np.bincount(group_ids[valid], minlength=num_groups)
+    k = (nper * rate).astype(np.int64) + 1  # int(cnt*rate + 1)
+    sel = (rank < k[np.minimum(sgs, num_groups - 1)]) & (sgs < num_groups)
+    out = np.zeros(N, bool)
+    out[order[sel]] = True
+    return out
+
+
 def sample_masked_nodes_np(
     rng: np.random.Generator,
     node_graph: np.ndarray,
@@ -34,22 +59,148 @@ def sample_masked_nodes_np(
     num_graphs: int,
     mask_rate: float,
 ) -> np.ndarray:
-    """Vectorized per-graph distinct sampling (numpy twin of
-    objectives.masking.sample_masked_nodes): rank nodes within their graph
-    by an iid uniform draw, keep the ``int(n*rate)+1`` lowest."""
-    N = node_graph.shape[0]
-    u = rng.random(N)
-    sg = np.where(node_mask, node_graph, num_graphs)
-    order = np.argsort(sg * 2.0 + u)
-    sgs = sg[order]
-    seg_start = np.searchsorted(sgs, np.arange(num_graphs))
-    rank = np.arange(N) - seg_start[np.minimum(sgs, num_graphs - 1)]
-    nper = np.bincount(node_graph[node_mask], minlength=num_graphs)
-    k = (nper * mask_rate).astype(np.int64) + 1  # int(n*rate + 1)
-    sel = (rank < k[np.minimum(sgs, num_graphs - 1)]) & (sgs < num_graphs)
-    masked = np.zeros(N, bool)
-    masked[order[sel]] = True
-    return masked
+    """Per-graph distinct atom sampling (numpy twin of
+    objectives.masking.sample_masked_nodes)."""
+    return sample_per_group_np(rng, node_graph, node_mask, num_graphs,
+                               mask_rate)
+
+
+def _graph_slot_ranges(p: PackedGraphs):
+    """(start, count) of each graph's contiguous node-slot run. Both
+    packers place a graph's nodes contiguously (within one block for the
+    blocked layout), so the run is [start, start + count)."""
+    node_graph = np.asarray(p.node_graph)
+    node_mask = np.asarray(p.node_mask)
+    G = p.max_graphs
+    idx = np.flatnonzero(node_mask)
+    gids = node_graph[idx]
+    counts = np.bincount(gids, minlength=G)
+    starts = np.zeros(G, np.int64)
+    order = np.argsort(gids, kind="stable")
+    first = np.searchsorted(gids[order], np.arange(G))
+    has = counts > 0
+    starts[has] = idx[order[first[has]]]
+    return starts, counts
+
+
+def _pad1(vals: np.ndarray, budget: int, name: str):
+    if len(vals) > budget:
+        raise ValueError(f"{len(vals)} {name} exceed budget {budget}")
+    out = np.zeros((budget,) + vals.shape[1:], vals.dtype)
+    out[: len(vals)] = vals
+    m = np.zeros(budget, bool)
+    m[: len(vals)] = True
+    return out, m
+
+
+@dataclasses.dataclass
+class BatchNegativeEdge:
+    """``NegativeEdge`` (chem/util.py:22-52 == bio/util.py:16-44) as ONE
+    vectorized pass over the packed batch: per graph, draw ``5 * E_g``
+    uniform node pairs and keep the first ``E_g // 2`` that are not
+    self-loops, existing directed edges, or earlier picks. Membership is a
+    searchsorted over the batch's sorted (receiver, sender) keys; dedup is
+    ``np.unique``'s first-occurrence index (an identical earlier candidate
+    that was itself invalid implies the later copy is invalid too, so
+    dedup-over-all equals the reference's dedup-over-accepted). Emits the
+    slot-space ``negative_edges`` [budget, 2] + mask that
+    ``EdgePredObjective`` reads."""
+
+    edge_budget: int = 0
+
+    def __call__(self, p: PackedGraphs,
+                 rng: np.random.Generator) -> PackedGraphs:
+        G, Np = p.max_graphs, p.max_nodes
+        snd = np.asarray(p.senders)
+        rcv = np.asarray(p.receivers)
+        emask = np.asarray(p.edge_mask)
+        node_graph = np.asarray(p.node_graph)
+        starts, counts_n = _graph_slot_ranges(p)
+
+        e_counts = np.bincount(node_graph[rcv[emask]], minlength=G)
+        want = e_counts // 2
+        cand_per = 5 * e_counts
+        C = int(cand_per.sum())
+        gid_c = np.repeat(np.arange(G), cand_per)
+        u = rng.random((C, 2))
+        n_c = counts_n[gid_c]
+        a = starts[gid_c] + (u[:, 0] * n_c).astype(np.int64)
+        b = starts[gid_c] + (u[:, 1] * n_c).astype(np.int64)
+
+        keys_exist = np.sort(
+            rcv[emask].astype(np.int64) * Np + snd[emask]
+        )
+        key = a * Np + b
+        pos = np.searchsorted(keys_exist, key)
+        pos = np.minimum(pos, max(len(keys_exist) - 1, 0))
+        exists = (
+            keys_exist[pos] == key if len(keys_exist) else
+            np.zeros(C, bool)
+        )
+        first_idx = np.unique(key, return_index=True)[1]
+        is_first = np.zeros(C, bool)
+        is_first[first_idx] = True
+        ok = (a != b) & ~exists & is_first
+
+        # rank of each valid candidate within its graph's candidate run
+        csum = np.cumsum(ok)
+        run_start = np.concatenate([[0], np.cumsum(cand_per)[:-1]])
+        cum_before = np.where(run_start > 0,
+                              csum[np.maximum(run_start - 1, 0)], 0)
+        rank = csum - np.repeat(cum_before, cand_per) - 1
+        take = ok & (rank < want[gid_c])
+
+        pairs = np.stack([a[take], b[take]], axis=1).astype(np.int32)
+        budget = self.edge_budget or p.max_edges // 2
+        vals, m = _pad1(pairs, budget, "negative edges")
+        extras = dict(p.extras or {})
+        extras["negative_edges"] = vals
+        extras["negative_edges_mask"] = m
+        return p.replace(extras=extras)
+
+
+@dataclasses.dataclass
+class BatchMaskEdge:
+    """bio ``MaskEdge`` (bio/util.py:46-104) as one vectorized pass:
+    per graph, sample ``int(E_undirected * rate) + 1`` distinct bonds
+    (even slots = per-bond representatives), record the original 9-dim
+    features as labels, overwrite BOTH directions with the mask feature
+    [0,...,0,1]. Emits slot-space ``masked_edge_idx`` + labels read by
+    ``BioMaskEdgeObjective``."""
+
+    mask_rate: float = 0.15
+    budget: int = 0
+
+    def __call__(self, p: PackedGraphs,
+                 rng: np.random.Generator) -> PackedGraphs:
+        G = p.max_graphs
+        emask = np.asarray(p.edge_mask)
+        rcv = np.asarray(p.receivers)
+        node_graph = np.asarray(p.node_graph)
+        bond_valid = emask[::2]
+        bond_gid = node_graph[rcv[::2]]
+        sel = sample_per_group_np(rng, bond_gid, bond_valid, G,
+                                  self.mask_rate)
+        eidx = (np.flatnonzero(sel) * 2).astype(np.int32)
+
+        edge_feat = np.array(p.edge_feat)
+        labels = edge_feat[eidx].copy()
+        mask_feat = np.zeros(edge_feat.shape[1], edge_feat.dtype)
+        mask_feat[-1] = 1
+        edge_feat[eidx] = mask_feat
+        edge_feat[eidx + 1] = mask_feat
+
+        budget = self.budget or (
+            int(p.max_edges // 2 * self.mask_rate) + G + 8
+        )
+        vals, m = _pad1(eidx, budget, "masked bonds")
+        lab, _ = _pad1(labels, budget, "masked bond labels")
+        extras = dict(p.extras or {})
+        extras["masked_edge_idx"] = vals
+        extras["masked_edge_idx_mask"] = m
+        extras["mask_edge_label"] = lab
+        extras["mask_edge_label_mask"] = m
+        return p.replace(edge_feat=edge_feat, extras=extras)
 
 
 @dataclasses.dataclass

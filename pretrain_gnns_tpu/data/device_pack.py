@@ -52,8 +52,10 @@ def _scatter_runs(starts, lens):
     return np.repeat(np.asarray(starts, np.int64), lens) + within, within
 
 
-def build_device_flat(flat: FlatGraphs):
+def build_device_flat(flat: FlatGraphs, as_numpy: bool = False):
     """Chunked resident arrays + host-side chunk offset tables.
+    ``as_numpy`` skips the device upload (multi-variant loaders
+    concatenate several resident trees host-side first).
 
     Returns (dev_tree, host_aux): dev_tree holds jnp arrays
       node8  [n_node_chunks, CHUNK*Fn] int32
@@ -89,9 +91,10 @@ def build_device_flat(flat: FlatGraphs):
     edge8[epos, fe + 1] = flat.recv
     edge8 = edge8.reshape(-1, CHUNK * (fe + 2))
 
-    dev = {"node8": jnp.asarray(node8), "edge8": jnp.asarray(edge8)}
+    wrap = (lambda a: a) if as_numpy else jnp.asarray
+    dev = {"node8": wrap(node8), "edge8": wrap(edge8)}
     if flat.y is not None:
-        dev["y"] = jnp.asarray(flat.y)
+        dev["y"] = wrap(flat.y)
     aux = {
         "node_chunk_off": node_chunk_off.astype(np.int64),
         "edge_chunk_off": edge_chunk_off.astype(np.int64),
@@ -148,6 +151,9 @@ def materialize(
         )
 
     extras = {}
+    if "negative_edges" in desc:
+        extras["negative_edges"] = desc["negative_edges"]
+        extras["negative_edges_mask"] = desc["negative_edges_mask"]
     if "masked_bool" in desc:
         # chem attribute masking: labels gathered from the CLEAN
         # materialized features, then tokens written via where
@@ -193,7 +199,143 @@ def materialize(
     )
 
 
-class DeviceBatchLoader:
+def stream_descriptor(
+    aux: Dict[str, np.ndarray],
+    lens_n: np.ndarray,
+    lens_e: np.ndarray,
+    ids: np.ndarray,
+    nstarts: np.ndarray,
+    estarts: np.ndarray,
+    max_nodes: int,
+    max_edges: int,
+    G: int,
+    chunk_base_n: int = 0,
+    chunk_base_e: int = 0,
+) -> Dict[str, np.ndarray]:
+    """Core :func:`materialize` descriptor for ONE resident stream:
+    slot-space masks/segment-ids plus the chunk gather plan. Module-level
+    so multi-stream loaders (context pairs) reuse it; ``chunk_base_*``
+    offsets the gather rows into a concatenated multi-variant resident
+    array."""
+    k = len(ids)
+    gid = np.zeros(G, np.int32)
+    gid[:k] = ids
+    gmask = np.zeros(G, bool)
+    gmask[:k] = True
+
+    # slot-space ids/masks (REAL lengths at chunk-aligned starts)
+    node_graph = np.zeros(max_nodes, np.int32)
+    node_mask = np.zeros(max_nodes, bool)
+    pos, _ = _scatter_runs(nstarts, lens_n)
+    node_graph[pos] = np.repeat(np.arange(k, dtype=np.int32), lens_n)
+    node_mask[pos] = True
+    edge_mask = np.zeros(max_edges, bool)
+    epos, _ = _scatter_runs(estarts, lens_e)
+    edge_mask[epos] = True
+
+    # chunk gather plans (padding chunks gather row 0, masked out)
+    cn = aux["lens_n8"][ids] // CHUNK
+    ce = aux["lens_e8"][ids] // CHUNK
+    node_chunk_rows = np.zeros(max_nodes // CHUNK, np.int32)
+    cpos, cwithin = _scatter_runs(
+        np.asarray(nstarts, np.int64) // CHUNK, cn
+    )
+    node_chunk_rows[cpos] = (
+        np.repeat(aux["node_chunk_off"][ids] + chunk_base_n, cn) + cwithin
+    )
+    edge_chunk_rows = np.zeros(max_edges // CHUNK, np.int32)
+    edge_chunk_nbase = np.zeros(max_edges // CHUNK, np.int32)
+    cepos, cewithin = _scatter_runs(
+        np.asarray(estarts, np.int64) // CHUNK, ce
+    )
+    edge_chunk_rows[cepos] = (
+        np.repeat(aux["edge_chunk_off"][ids] + chunk_base_e, ce) + cewithin
+    )
+    edge_chunk_nbase[cepos] = np.repeat(
+        np.asarray(nstarts, np.int64), ce
+    )
+    return {
+        "gid": gid, "gmask": gmask,
+        "node_graph": node_graph, "node_mask": node_mask,
+        "edge_mask": edge_mask,
+        "node_chunk_rows": node_chunk_rows,
+        "edge_chunk_rows": edge_chunk_rows,
+        "edge_chunk_nbase": edge_chunk_nbase,
+    }
+
+
+class EpochStackMixin:
+    """Shared whole-epoch descriptor stacking for device-resident loaders
+    (the epoch-resident trainer's input). Requires iteration yielding
+    descriptor dicts, ``last_epoch_stats``, and ``_desc_counts``."""
+
+    def _desc_counts(self, d) -> Tuple[int, int]:
+        return int(d["gmask"].sum()), int(d["edge_mask"].sum())
+
+    def epoch_stack(
+        self, steps_cap: int = 0, n_dev: int = 1
+    ) -> Optional[Dict[str, object]]:
+        """One epoch's descriptors stacked into ``[steps, ...]`` (or
+        ``[steps, n_dev, ...]`` for data parallelism) numpy arrays, ready
+        for a single H2D transfer + one ``lax.scan`` dispatch.
+
+        ``steps_cap`` fixes the static scan length across epochs (the
+        first-fit planner's batch count can drift by ±1-2 with the
+        shuffle): short epochs are padded with a replay of the first
+        descriptor and masked via ``valid``; long epochs return the
+        surplus in ``overflow`` (same per-step shapes, for single-step
+        dispatch). Returns None when the epoch yields no full group.
+        """
+        descs = list(self)
+        stats = dict(self.last_epoch_stats)
+        if n_dev > 1:
+            usable = len(descs) // n_dev * n_dev
+            if usable < len(descs):
+                for d in descs[usable:]:
+                    g, e = self._desc_counts(d)
+                    stats["graphs"] -= g
+                    stats["edges"] -= e
+                    stats["batches"] -= 1
+                descs = descs[:usable]
+        if not descs:
+            return None
+        steps = len(descs) // max(n_dev, 1)
+        if steps_cap <= 0:
+            steps_cap = steps
+
+        def group(ds: List[Dict[str, np.ndarray]]):
+            """len(ds) == n_dev -> one scan element."""
+            if n_dev <= 1:
+                return ds[0]
+            return {
+                k: np.stack([d[k] for d in ds]) for k in ds[0]
+            }
+
+        elems = [
+            group(descs[i * max(n_dev, 1):(i + 1) * max(n_dev, 1)])
+            for i in range(steps)
+        ]
+        overflow = elems[steps_cap:]
+        elems = elems[:steps_cap]
+        n_real = len(elems)
+        valid = np.zeros(steps_cap, bool)
+        valid[:n_real] = True
+        if n_real < steps_cap:
+            elems = elems + [elems[0]] * (steps_cap - n_real)
+        stacked = {
+            k: np.stack([e[k] for e in elems]) for k in elems[0]
+        }
+        stats["graphs_per_batch"] = stats["graphs"] / max(
+            stats["batches"], 1
+        )
+        self.last_epoch_stats = stats
+        return {
+            "stacked": stacked, "valid": valid, "n_steps": n_real,
+            "overflow": overflow, "stats": stats,
+        }
+
+
+class DeviceBatchLoader(EpochStackMixin):
     """Iterator yielding per-batch DESCRIPTORS (small numpy pytrees) for
     :func:`materialize`. Same iteration semantics as FlatLoader (seeded
     epoch shuffle, greedy first-fit, drop_last, last_epoch_stats), except
@@ -203,6 +345,10 @@ class DeviceBatchLoader:
     ``mask_spec`` = dict(rate, mask_edge, node_budget, edge_budget,
     atom_token, bond_token) enables the masking descriptor fields
     (sampling runs vectorized on host, labels are gathered on device).
+    ``neg_spec`` = dict(budget) enables edgepred's negative-edge fields:
+    per-batch vectorized rejection sampling in flat-local space (existing
+    -edge membership via searchsorted over the batch's edge keys), slot
+    pairs shipped in the descriptor.
     """
 
     def __init__(
@@ -216,6 +362,7 @@ class DeviceBatchLoader:
         drop_last: bool = False,
         blocks: Optional[Tuple[int, int, int]] = None,
         mask_spec: Optional[dict] = None,
+        neg_spec: Optional[dict] = None,
     ):
         self.flat = flat
         self.dev, self._aux = build_device_flat(flat)
@@ -232,6 +379,7 @@ class DeviceBatchLoader:
         self.max_nodes, self.max_edges = max_nodes, max_edges
         self.shuffle, self.seed, self.drop_last = shuffle, seed, drop_last
         self.mask_spec = mask_spec
+        self.neg_spec = neg_spec
         self._epoch = 0
         self.last_epoch_stats: Dict[str, float] = {}
         self._lens_n = np.diff(flat.node_off).astype(np.int64)
@@ -268,62 +416,81 @@ class DeviceBatchLoader:
                     rng: np.random.Generator) -> Dict[str, np.ndarray]:
         G = self.batch_size
         k = len(ids)
-        gid = np.zeros(G, np.int32)
-        gid[:k] = ids
-        gmask = np.zeros(G, bool)
-        gmask[:k] = True
         lens_n = self._lens_n[ids]
         lens_e = self._lens_e[ids]
-        aux = self._aux
-
-        # slot-space ids/masks (REAL lengths at chunk-aligned starts)
-        node_graph = np.zeros(self.max_nodes, np.int32)
-        node_mask = np.zeros(self.max_nodes, bool)
-        pos, _ = _scatter_runs(nstarts, lens_n)
-        node_graph[pos] = np.repeat(np.arange(k, dtype=np.int32), lens_n)
-        node_mask[pos] = True
-        edge_mask = np.zeros(self.max_edges, bool)
-        epos, _ = _scatter_runs(estarts, lens_e)
-        edge_mask[epos] = True
-
-        # chunk gather plans (padding chunks gather row 0, masked out)
-        cn = aux["lens_n8"][ids] // CHUNK
-        ce = aux["lens_e8"][ids] // CHUNK
-        node_chunk_rows = np.zeros(self.max_nodes // CHUNK, np.int32)
-        cpos, cwithin = _scatter_runs(
-            np.asarray(nstarts, np.int64) // CHUNK, cn
+        desc = stream_descriptor(
+            self._aux, lens_n, lens_e, ids, nstarts, estarts,
+            self.max_nodes, self.max_edges, G,
         )
-        node_chunk_rows[cpos] = (
-            np.repeat(aux["node_chunk_off"][ids], cn) + cwithin
-        )
-        edge_chunk_rows = np.zeros(self.max_edges // CHUNK, np.int32)
-        edge_chunk_nbase = np.zeros(self.max_edges // CHUNK, np.int32)
-        cepos, cewithin = _scatter_runs(
-            np.asarray(estarts, np.int64) // CHUNK, ce
-        )
-        edge_chunk_rows[cepos] = (
-            np.repeat(aux["edge_chunk_off"][ids], ce) + cewithin
-        )
-        edge_chunk_nbase[cepos] = np.repeat(
-            np.asarray(nstarts, np.int64), ce
-        )
-
         nstart = np.full(G, self.max_nodes, np.int64)
         estart = np.full(G, self.max_edges, np.int64)
         nstart[:k] = nstarts
         estart[:k] = estarts
-        desc = {
-            "gid": gid, "gmask": gmask,
-            "node_graph": node_graph, "node_mask": node_mask,
-            "edge_mask": edge_mask,
-            "node_chunk_rows": node_chunk_rows,
-            "edge_chunk_rows": edge_chunk_rows,
-            "edge_chunk_nbase": edge_chunk_nbase,
-        }
         if self.mask_spec is not None:
-            self._add_masking(desc, gid, gmask, lens_e, nstart, estart,
-                              rng)
+            self._add_masking(desc, desc["gid"], desc["gmask"], lens_e,
+                              nstart, estart, rng)
+        if self.neg_spec is not None:
+            self._add_negatives(desc, ids, nstart[:k], rng)
         return desc
+
+    def _add_negatives(self, desc, ids, nstarts, rng):
+        """NegativeEdge (chem/util.py:22-52) vectorized in flat-local
+        space: per graph draw 5E uniform pairs, keep the first E//2 that
+        are not self-loops / existing directed edges / earlier picks."""
+        flat = self.flat
+        k = len(ids)
+        lens_n = self._lens_n[ids]
+        lens_e = self._lens_e[ids]
+        want = lens_e // 2
+        cand_per = 5 * lens_e
+        C = int(cand_per.sum())
+        gi = np.repeat(np.arange(k), cand_per)
+        u = rng.random((C, 2))
+        a = (u[:, 0] * lens_n[gi]).astype(np.int64)
+        b = (u[:, 1] * lens_n[gi]).astype(np.int64)
+
+        etot = int(lens_e.sum())
+        within = np.arange(etot) - np.repeat(
+            np.cumsum(lens_e) - lens_e, lens_e
+        )
+        erow = np.repeat(flat.edge_off[ids], lens_e) + within
+        eg = np.repeat(np.arange(k), lens_e)
+        M = int(lens_n.max(initial=1))
+        keys_exist = np.sort(
+            eg * (M * M) + flat.recv[erow].astype(np.int64) * M
+            + flat.send[erow]
+        )
+        key = gi * (M * M) + a * M + b
+        pos = np.minimum(np.searchsorted(keys_exist, key),
+                         max(len(keys_exist) - 1, 0))
+        exists = (keys_exist[pos] == key) if etot else np.zeros(C, bool)
+        first_idx = np.unique(key, return_index=True)[1]
+        is_first = np.zeros(C, bool)
+        is_first[first_idx] = True
+        ok = (a != b) & ~exists & is_first
+
+        csum = np.cumsum(ok)
+        run_start = np.concatenate([[0], np.cumsum(cand_per)[:-1]])
+        cum_before = np.where(run_start > 0,
+                              csum[np.maximum(run_start - 1, 0)], 0)
+        rank = csum - np.repeat(cum_before, cand_per) - 1
+        take = ok & (rank < want[gi])
+
+        gt = gi[take]
+        pairs = np.stack(
+            [nstarts[gt] + a[take], nstarts[gt] + b[take]], axis=1
+        ).astype(np.int32)
+        budget = self.neg_spec["budget"]
+        if len(pairs) > budget:
+            raise ValueError(
+                f"{len(pairs)} negative edges > budget {budget}"
+            )
+        pad = np.zeros((budget, 2), np.int32)
+        pad[: len(pairs)] = pairs
+        m = np.zeros(budget, bool)
+        m[: len(pairs)] = True
+        desc["negative_edges"] = pad
+        desc["negative_edges_mask"] = m
 
     def _add_masking(self, desc, gid, gmask, lens_e, nstart, estart, rng):
         from pretrain_gnns_tpu.data.batch_transforms import (
@@ -440,72 +607,6 @@ class DeviceBatchLoader:
                 fill_n[:] = 0
                 fill_e[:] = 0
         return batch + (1 if in_batch else 0), out_batch, out_ns, out_es
-
-    def epoch_stack(
-        self, steps_cap: int = 0, n_dev: int = 1
-    ) -> Optional[Dict[str, object]]:
-        """Whole-epoch descriptor stream for the epoch-resident trainer:
-        one epoch's descriptors stacked into ``[steps, ...]`` (or
-        ``[steps, n_dev, ...]`` for data parallelism) numpy arrays, ready
-        for a single H2D transfer + one ``lax.scan`` dispatch.
-
-        ``steps_cap`` fixes the static scan length across epochs (the
-        first-fit planner's batch count can drift by ±1-2 with the
-        shuffle): short epochs are padded with a replay of the first
-        descriptor and masked via ``valid``; long epochs return the
-        surplus in ``overflow`` (same per-step shapes, for single-step
-        dispatch). Returns None when the epoch yields no full group.
-        """
-        descs = list(self)
-        stats = dict(self.last_epoch_stats)
-        if n_dev > 1:
-            usable = len(descs) // n_dev * n_dev
-            if usable < len(descs):
-                dropped = descs[usable:]
-                stats["graphs"] -= sum(
-                    int(d["gmask"].sum()) for d in dropped
-                )
-                stats["edges"] -= sum(
-                    int(d["edge_mask"].sum()) for d in dropped
-                )
-                stats["batches"] -= len(dropped)
-                descs = descs[:usable]
-        if not descs:
-            return None
-        steps = len(descs) // max(n_dev, 1)
-        if steps_cap <= 0:
-            steps_cap = steps
-
-        def group(ds: List[Dict[str, np.ndarray]]):
-            """len(ds) == n_dev -> one scan element."""
-            if n_dev <= 1:
-                return ds[0]
-            return {
-                k: np.stack([d[k] for d in ds]) for k in ds[0]
-            }
-
-        elems = [
-            group(descs[i * max(n_dev, 1):(i + 1) * max(n_dev, 1)])
-            for i in range(steps)
-        ]
-        overflow = elems[steps_cap:]
-        elems = elems[:steps_cap]
-        n_real = len(elems)
-        valid = np.zeros(steps_cap, bool)
-        valid[:n_real] = True
-        if n_real < steps_cap:
-            elems = elems + [elems[0]] * (steps_cap - n_real)
-        stacked = {
-            k: np.stack([e[k] for e in elems]) for k in elems[0]
-        }
-        stats["graphs_per_batch"] = stats["graphs"] / max(
-            stats["batches"], 1
-        )
-        self.last_epoch_stats = stats
-        return {
-            "stacked": stacked, "valid": valid, "n_steps": n_real,
-            "overflow": overflow, "stats": stats,
-        }
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         order = np.arange(len(self.flat))

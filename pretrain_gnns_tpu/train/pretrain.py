@@ -61,6 +61,9 @@ class PretrainConfig:
     # bio contextpred (bio/pretrain_contextpred.py: --l1 default 1, --center)
     l1: int = 1
     center: bool = True
+    # contextpred fast path: presampled (root, context) variants cycled
+    # per epoch (data/context_loader.py::PresampledContextLoader)
+    context_variants: int = 8
     # batch layout: auto = block-diagonal (Pallas kernels) on accelerators
     packing: str = "auto"  # auto | standard | blocked
     # graph-data parallelism: devices in the mesh's "data" axis
@@ -104,7 +107,8 @@ def use_device_dataset(cfg: PretrainConfig) -> bool:
         # without the epoch scan, the DP path consumes host-packed
         # batches (grouped + shard_global_batch), not descriptors
         return False
-    if cfg.domain != "chem" or cfg.objective not in ("masking", "infomax"):
+    if cfg.domain != "chem" or cfg.objective not in (
+            "masking", "infomax", "edgepred", "contextpred"):
         return False
     if cfg.device_dataset == "on":
         return True
@@ -159,7 +163,7 @@ def build_objective(cfg: PretrainConfig):
 
 
 def _try_device_loader(cfg, graphs, blocks, mn, me, drop_last,
-                       mask_spec=None):
+                       mask_spec=None, neg_spec=None):
     """DeviceBatchLoader when the dataset flattens cleanly; None = fall
     back to the host packers."""
     from pretrain_gnns_tpu.data.device_pack import DeviceBatchLoader
@@ -171,7 +175,7 @@ def _try_device_loader(cfg, graphs, blocks, mn, me, drop_last,
         return None
     return DeviceBatchLoader(
         flat, cfg.batch_size, mn, me, seed=cfg.seed, blocks=blocks,
-        drop_last=drop_last, mask_spec=mask_spec,
+        drop_last=drop_last, mask_spec=mask_spec, neg_spec=neg_spec,
     )
 
 
@@ -189,14 +193,25 @@ def build_loader(cfg: PretrainConfig, graphs: Sequence[Graph],
         {"center_node_idx": cfg.batch_size} if cfg.domain == "bio" else {}
     )
     if cfg.objective == "masking" and cfg.domain == "bio":
-        t = transforms.MaskEdge(cfg.mask_rate)
         n_masked = int(me // 2 * cfg.mask_rate) + cfg.batch_size + 8
-        return PackedLoader(
-            graphs, cfg.batch_size, mn, me, seed=cfg.seed, transform=t,
-            blocks=blocks,
-            extra_pad={"masked_edge_idx": n_masked,
-                       "mask_edge_label": n_masked, **base_pad},
-            drop_last=drop_last,
+        if cfg.transform_device == "host":
+            # reference-worker style per-graph transform
+            t = transforms.MaskEdge(cfg.mask_rate)
+            return PackedLoader(
+                graphs, cfg.batch_size, mn, me, seed=cfg.seed, transform=t,
+                blocks=blocks,
+                extra_pad={"masked_edge_idx": n_masked,
+                           "mask_edge_label": n_masked, **base_pad},
+                drop_last=drop_last,
+            )
+        # default: flat/C++ packer + ONE vectorized masking pass per batch
+        from pretrain_gnns_tpu.data.batch_transforms import BatchMaskEdge
+        from pretrain_gnns_tpu.data.packing import make_loader
+
+        return make_loader(
+            graphs, cfg.batch_size, mn, me, seed=cfg.seed, blocks=blocks,
+            drop_last=drop_last, extra_pad=base_pad or None,
+            post_transform=BatchMaskEdge(cfg.mask_rate, budget=n_masked),
         )
     if cfg.objective == "masking":
         mode = masking_mode(cfg)
@@ -250,12 +265,30 @@ def build_loader(cfg: PretrainConfig, graphs: Sequence[Graph],
                             transform=t, extra_pad=extra_pad,
                             blocks=blocks, drop_last=drop_last)
     if cfg.objective == "edgepred":
-        t = transforms.NegativeEdge()
-        return PackedLoader(graphs, cfg.batch_size, mn, me, seed=cfg.seed,
-                            transform=t,
-                            extra_pad={"negative_edges": me // 2,
-                                       **base_pad},
-                            blocks=blocks, drop_last=drop_last)
+        if cfg.transform_device == "host":
+            t = transforms.NegativeEdge()
+            return PackedLoader(graphs, cfg.batch_size, mn, me,
+                                seed=cfg.seed, transform=t,
+                                extra_pad={"negative_edges": me // 2,
+                                           **base_pad},
+                                blocks=blocks, drop_last=drop_last)
+        if use_device_dataset(cfg) and not base_pad:
+            # device-resident dataset; negatives ride the descriptors
+            dl = _try_device_loader(cfg, graphs, blocks, mn, me, drop_last,
+                                    neg_spec=dict(budget=me // 2))
+            if dl is not None:
+                return dl
+        # flat/C++ packer + ONE vectorized negative-sampling pass
+        from pretrain_gnns_tpu.data.batch_transforms import (
+            BatchNegativeEdge,
+        )
+        from pretrain_gnns_tpu.data.packing import make_loader
+
+        return make_loader(
+            graphs, cfg.batch_size, mn, me, seed=cfg.seed, blocks=blocks,
+            drop_last=drop_last, extra_pad=base_pad or None,
+            post_transform=BatchNegativeEdge(edge_budget=me // 2),
+        )
     if cfg.objective == "infomax":
         if use_device_dataset(cfg) and not base_pad:
             dl = _try_device_loader(cfg, graphs, blocks, mn, me, drop_last)
@@ -278,8 +311,24 @@ def build_loader(cfg: PretrainConfig, graphs: Sequence[Graph],
             t = transforms.ExtractSubstructureContextPair(
                 cfg.num_layer, l1, l2
             )
-        return ContextPairLoader(graphs, cfg.batch_size, t, mn, me,
-                                 seed=cfg.seed, drop_last=drop_last)
+        if cfg.transform_device == "host":
+            # per-epoch per-sample BFS (reference-worker style)
+            return ContextPairLoader(graphs, cfg.batch_size, t, mn, me,
+                                     seed=cfg.seed, drop_last=drop_last)
+        from pretrain_gnns_tpu.data.context_loader import (
+            DeviceContextLoader, PresampledContextLoader,
+        )
+
+        if use_device_dataset(cfg):
+            return DeviceContextLoader(
+                graphs, cfg.batch_size, t, mn, me, seed=cfg.seed,
+                drop_last=drop_last, variants=cfg.context_variants,
+                blocked=blocks is not None,
+            )
+        return PresampledContextLoader(
+            graphs, cfg.batch_size, t, mn, me, seed=cfg.seed,
+            drop_last=drop_last, variants=cfg.context_variants,
+        )
     raise ValueError(cfg.objective)
 
 
@@ -292,7 +341,8 @@ def _make_step_body(model, tx, prepare=None):
 
     def body(state: TrainState, dev, batch):
         if prepare is not None:
-            batch = (prepare(dev, batch[0]),)
+            out = prepare(dev, batch[0])
+            batch = out if isinstance(out, tuple) else (out,)
         rng, drop_rng, mask_rng = jax.random.split(state.rng, 3)
 
         def loss_fn(params):
@@ -401,7 +451,8 @@ def make_epoch_dp_pretrain_step(model, tx, mesh, prepare, dev,
             my_idx = jax.lax.axis_index(axis)
             rng = jax.random.fold_in(st.rng, my_idx)
             _, drop_rng, mask_rng = jax.random.split(rng, 3)
-            batch = (prepare(dev_args, local),)
+            out = prepare(dev_args, local)
+            batch = out if isinstance(out, tuple) else (out,)
 
             def loss_fn(params):
                 (loss, metrics), mutated = model.apply(
@@ -600,11 +651,13 @@ def run_pretrain(
     # jitted init: eager init dispatches every op separately, which is
     # seconds-to-minutes over remote-attached TPU runtimes
     if prepare is not None:
-        variables = jax.jit(
-            lambda k1, k2, d, desc: model.init(
-                {"params": k1, "mask": k2}, prepare(d, desc), train=False
-            )
-        )(init_rng, mask_rng, dev, batch0[0])
+        def _init(k1, k2, d, desc):
+            out = prepare(d, desc)
+            out = out if isinstance(out, tuple) else (out,)
+            return model.init({"params": k1, "mask": k2}, *out,
+                              train=False)
+
+        variables = jax.jit(_init)(init_rng, mask_rng, dev, batch0[0])
     else:
         variables = jax.jit(
             lambda k1, k2, *b: model.init(

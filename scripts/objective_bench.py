@@ -1,0 +1,70 @@
+"""Per-objective end-to-end pretraining throughput (edges/s/chip).
+
+Runs every SSL objective through ``run_pretrain``'s production pipeline on
+bench-sized synthetic data and prints one JSON line each — the per-
+objective companion of bench.py (which times the masking headline only).
+
+Usage: [OBJS="masking edgepred"] [DTYPE=bfloat16_act] \
+    python - < scripts/objective_bench.py   # ('python - <' keeps the
+    repo root importable without PYTHONPATH, which breaks the axon plugin)
+"""
+
+import json
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
+
+import numpy as np
+
+from pretrain_gnns_tpu.data.synthetic import bio_dataset, molecule_dataset
+from pretrain_gnns_tpu.models import inits
+from pretrain_gnns_tpu.train import pretrain
+
+N_GRAPHS = 8192
+EPOCHS = 4  # 1 compile + 3 timed (median)
+
+
+def run(objective: str) -> dict:
+    if objective.startswith("bio_"):
+        graphs = bio_dataset(2048, num_downstream=3, seed=0, mean_nodes=60)
+        for g in graphs:
+            g.extras = {"center_node_idx": g.extras["center_node_idx"]}
+        cfg = pretrain.PretrainConfig(
+            objective=objective[4:], domain="bio", num_layer=5,
+            emb_dim=300, batch_size=64, seed=0, scan_steps=16,
+            packing="auto",
+        )
+    else:
+        graphs, _ = molecule_dataset(N_GRAPHS, num_tasks=1, seed=0,
+                                     mean_atoms=23)
+        cfg = pretrain.PretrainConfig(
+            objective=objective, num_layer=5, emb_dim=300, batch_size=256,
+            mask_edge=False, seed=0, scan_steps=16, packing="auto",
+        )
+    times = []
+
+    def logcb(s):
+        if s.startswith("epoch"):
+            times.append(time.perf_counter())
+
+    res = pretrain.run_pretrain(cfg, graphs, log=logcb, epochs=EPOCHS)
+    edges = res["loader"].last_epoch_stats["edges"]
+    per = float(np.median(np.diff(times)))
+    return {
+        "objective": objective,
+        "edges_per_sec": round(edges / per, 1),
+        "loader": type(res["loader"]).__name__,
+    }
+
+
+def main():
+    inits.set_compute_dtype(os.environ.get("DTYPE", "bfloat16_act"))
+    objs = (os.environ.get("OBJS")
+            or "masking infomax edgepred contextpred bio_masking").split()
+    for obj in objs:
+        print(json.dumps(run(obj)), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -41,7 +41,9 @@ def test_objective_trains(objective):
 
 @pytest.mark.parametrize("mode", ["cbow", "skipgram"])
 def test_contextpred_trains(mode):
-    cfg = _cfg("contextpred", mode=mode, csize=2, num_layer=3)
+    # 4 epochs: the presampled variant cycle makes epoch-3 accuracy dip
+    # to ~0.52 on this tiny dataset before recovering
+    cfg = _cfg("contextpred", mode=mode, csize=2, num_layer=3, epochs=4)
     res = pretrain.run_pretrain(cfg, GRAPHS, log=None)
     h = res["history"]
     assert all(np.isfinite(r["loss"]) for r in h)
