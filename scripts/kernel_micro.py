@@ -79,6 +79,40 @@ def main():
               f"{nmat * mm / dt / 1e12:6.1f} TFLOP/s eff  "
               f"{int(p.edge_mask.sum()) / dt / 1e6:8.1f} Medges/s")
 
+    # --- receiver-sorted segment-sum scatter experiment (VERDICT r3 #6) --
+    from pretrain_gnns_tpu.ops import pallas_spmm_sorted as sortmod
+
+    ee = jnp.array(rng.normal(size=(E, F)).astype(np.float32))
+    s2, r2, w2, ee2 = jax.jit(
+        lambda: sortmod.sort_block_edges(snd, rcv, w, ee, N // BN, BE)
+    )()
+
+    def onehot_fwd(x):
+        return pallas_spmm.blocked_spmm(
+            x, ee, snd, rcv, w, BN, BE, jnp.bfloat16, False)
+
+    def sorted_fwd(x):
+        return sortmod.sorted_blocked_spmm(
+            x, ee2, s2, r2, w2, BN, BE, jnp.bfloat16, False)
+
+    def sorted_fwd_with_sort(x):
+        ss, rr, ww, eee = sortmod.sort_block_edges(
+            snd, rcv, w, ee, N // BN, BE)
+        return sortmod.sorted_blocked_spmm(
+            x, eee, ss, rr, ww, BN, BE, jnp.bfloat16, False)
+
+    for name, fn in [("onehot scatter fwd", onehot_fwd),
+                     ("sorted-segsum  fwd", sorted_fwd),
+                     ("sorted + sort  fwd", sorted_fwd_with_sort)]:
+        run = chain(fn)
+        _ = float(run(x))
+        t0 = time.perf_counter()
+        final = float(run(x))
+        dt = (time.perf_counter() - t0) / ITERS
+        assert np.isfinite(final)
+        print(f"{name} {dt * 1e6:8.1f} us  "
+              f"{int(p.edge_mask.sum()) / dt / 1e6:8.1f} Medges/s")
+
     # --- fused GAT attention (SDDMM + segment softmax + aggregation) ----
     from pretrain_gnns_tpu.ops import attention
 

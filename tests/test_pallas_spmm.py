@@ -264,3 +264,41 @@ def test_bio_gin_concat_blocked(rng):
         np.testing.assert_allclose(
             vp[pg == gid], vb[bg == gid], atol=5e-4, rtol=1e-3,
         )
+
+
+def test_sorted_segsum_scatter_matches_onehot(rng):
+    """The receiver-sorted segment-sum experiment kernel
+    (ops/pallas_spmm_sorted.py, VERDICT r3 item 6) must agree with the
+    production one-hot kernel; docs/PERFORMANCE.md records why the
+    one-hot variant remains the default."""
+    import jax.numpy as jnp
+
+    from pretrain_gnns_tpu.ops import pallas_spmm
+    from pretrain_gnns_tpu.ops.pallas_spmm_sorted import (
+        sort_block_edges, sorted_blocked_spmm,
+    )
+
+    BN, BE, NB, F = 32, 96, 4, 48
+    N, E = NB * BN, NB * BE
+    x = rng.normal(size=(N, F)).astype(np.float32)
+    ee = rng.normal(size=(E, F)).astype(np.float32)
+    snd = np.zeros(E, np.int32)
+    rcv = np.zeros(E, np.int32)
+    w = np.zeros(E, np.float32)
+    for b in range(NB):
+        ne = int(rng.integers(40, BE))
+        snd[b * BE:b * BE + ne] = rng.integers(b * BN, (b + 1) * BN, ne)
+        rcv[b * BE:b * BE + ne] = rng.integers(b * BN, (b + 1) * BN, ne)
+        w[b * BE:b * BE + ne] = 1.0
+    ref = pallas_spmm.blocked_spmm(
+        jnp.asarray(x), jnp.asarray(ee), jnp.asarray(snd),
+        jnp.asarray(rcv), jnp.asarray(w), BN, BE, jnp.float32, True,
+    )
+    s2, r2, w2, ee2 = sort_block_edges(
+        jnp.asarray(snd), jnp.asarray(rcv), jnp.asarray(w),
+        jnp.asarray(ee), NB, BE,
+    )
+    out = sorted_blocked_spmm(jnp.asarray(x), ee2, s2, r2, w2, BN, BE,
+                              jnp.float32, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4, rtol=1e-5)
