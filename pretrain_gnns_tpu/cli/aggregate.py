@@ -44,13 +44,18 @@ def collect(result_dir: str):
         row = {
             "dataset": r["dataset"],
             "config": r["config"].get("filename") or "default",
-            "seed": r["config"].get("runseed", 0),
+            # mutag/ptc CV runs: the fold plays the seed's role
+            # (finetune_tune.sh second block, fold_idx = $1)
+            "seed": r.get("fold", r["config"].get("runseed", 0)),
             "best_epoch": best + 1,
             "val_auc": float(val[best]),
             "test_auc": float(test[best]),
         }
-        for k, v in r.items():  # extra splits: test_easy / test_hard / ...
-            if k.startswith("test_") and isinstance(v, list) and v:
+        for k, v in r.items():
+            if k.endswith("_task_auc") and isinstance(v, list):
+                # bio per-task AUCs at the selected epoch (nullable)
+                row[k] = [np.nan if x is None else float(x) for x in v]
+            elif k.startswith("test_") and isinstance(v, list) and v:
                 row[f"{k}_auc"] = float(np.asarray(v)[best])
         rows.append(row)
     return rows
@@ -144,6 +149,7 @@ def summarize(rows):
         }
         extra_keys = sorted(
             {k for r in rs for k in r if k.endswith("_auc")
+             and not k.endswith("_task_auc")
              and k not in ("val_auc", "test_auc")}
         )
         for k in extra_keys:
@@ -182,12 +188,112 @@ def negative_transfer(rows, baseline: str = "nopretrain"):
     return out
 
 
+def pairwise_points(rows, baseline: str = "nopretrain"):
+    """The raw data behind the reference's pairwise scatter plots
+    (bio/result_analysis.py:84-139), at two granularities:
+
+    - per-TASK (bio): configs whose rows carry ``*_task_auc`` arrays are
+      compared task-by-task after averaging each task over seeds —
+      exactly the reference's ``mean_task_result_dict`` scatter; the
+      reference's negative-transfer count ``sum(x > y + 0.001)`` rides
+      along.
+    - per-(dataset, seed) otherwise (chem has a scalar protocol metric).
+    """
+    out = []
+    task_keys = sorted({
+        k for r in rows for k in r if k.endswith("_task_auc")
+    })
+    by_cfg = defaultdict(list)
+    for r in rows:
+        by_cfg[(r["dataset"], r["config"])].append(r)
+
+    def task_means(rs, key):
+        arrs = [np.asarray(r[key], float) for r in rs if key in r]
+        if not arrs:
+            return None
+        return np.nanmean(np.stack(arrs), axis=0)
+
+    for key in task_keys:
+        for (dataset, config), rs in sorted(by_cfg.items()):
+            if config == baseline:
+                continue
+            base_rs = by_cfg.get((dataset, baseline))
+            if not base_rs:
+                continue
+            y = task_means(rs, key)
+            x = task_means(base_rs, key)
+            if y is None or x is None:
+                continue
+            m = np.isfinite(x) & np.isfinite(y)
+            out.append({
+                "kind": f"per_task:{key[:-9]}",
+                "dataset": dataset, "config": config,
+                "baseline": baseline,
+                "x": x[m].tolist(), "y": y[m].tolist(),
+                # bio/result_analysis.py:139
+                "negative_transfer_tasks": int(np.sum(x[m] > y[m] + 1e-3)),
+            })
+
+    base = {
+        (r["dataset"], r["seed"]): r["test_auc"]
+        for r in rows if r["config"] == baseline
+    }
+    pts = defaultdict(list)
+    for r in rows:
+        if r["config"] == baseline:
+            continue
+        b = base.get((r["dataset"], r["seed"]))
+        if b is not None:
+            pts[(r["dataset"], r["config"])].append((b, r["test_auc"]))
+    for (dataset, config), xy in sorted(pts.items()):
+        x, y = zip(*xy)
+        out.append({
+            "kind": "per_seed", "dataset": dataset, "config": config,
+            "baseline": baseline, "x": list(x), "y": list(y),
+        })
+    return out
+
+
+def make_plots(pair_data, plots_dir: str):
+    """Scatter plots matching bio/result_analysis.py:86-135 (y = config,
+    x = baseline, red y=x diagonal, unit square). Skipped gracefully when
+    matplotlib is unavailable."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:  # pragma: no cover
+        print("[aggregate] matplotlib unavailable; pairwise data only")
+        return []
+    os.makedirs(plots_dir, exist_ok=True)
+    written = []
+    for d in pair_data:
+        fig, ax = plt.subplots(figsize=(6, 6))
+        ax.scatter(d["x"], d["y"], s=12)
+        ax.plot([0, 1], [0, 1], "red", linewidth=1)
+        ax.set_xlim(0, 1)
+        ax.set_ylim(0, 1)
+        ax.set_xlabel(d["baseline"])
+        ax.set_ylabel(d["config"])
+        kind = d["kind"].replace(":", "_").replace("/", "_")
+        name = (f"pairwise_{d['dataset']}_{d['config']}"
+                f"_vs_{d['baseline']}_{kind}.png")
+        fig.savefig(os.path.join(plots_dir, name), dpi=120)
+        plt.close(fig)
+        written.append(name)
+    return written
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--result_dir", default="runs/sweep")
     p.add_argument("--out", default="")
     p.add_argument("--baseline", default="nopretrain",
                    help="config name used for negative-transfer pairing")
+    p.add_argument("--plots_dir", default="",
+                   help="emit pairwise scatter plots (matplotlib) here "
+                        "(bio/result_analysis.py:84-139 analogue)")
     p.add_argument("--from_tensorboard", type=int, default=0,
                    help="read TensorBoard event files (the reference's "
                         "result format) instead of result.json files")
@@ -212,10 +318,27 @@ def main(argv=None):
             f"gain {t['mean_gain']:+.4f}, negative transfer in "
             f"{t['negative_transfer_seeds']}/{t['n_pairs']} seeds"
         )
+    pairs = pairwise_points(rows, args.baseline)
+    for d in pairs:
+        if d["kind"].startswith("per_task"):
+            print(
+                f"  per-task {d['dataset']:>12} {d['config']:>24} "
+                f"({len(d['x'])} tasks) negative transfer in "
+                f"{d['negative_transfer_tasks']} tasks"
+            )
+    if args.plots_dir:
+        written = make_plots(pairs, args.plots_dir)
+        print(f"[aggregate] {len(written)} scatter plots -> "
+              f"{args.plots_dir}")
     if args.out:
+        rows_out = [
+            {k: v for k, v in r.items() if not k.endswith("_task_auc")}
+            for r in rows
+        ]
         with open(args.out, "w") as f:
             json.dump(
-                {"runs": rows, "summary": table, "negative_transfer": nt},
+                {"runs": rows_out, "summary": table,
+                 "negative_transfer": nt, "pairwise": pairs},
                 f,
             )
     return table

@@ -17,13 +17,18 @@ import argparse
 import json
 import os
 
+import numpy as np
+
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--domain", default="chem", choices=["chem", "bio"])
     p.add_argument("--dataset", default="synthetic")
     p.add_argument("--data_root", default="dataset")
-    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--batch_size", type=int, default=0,
+                   help="0 = protocol default: 32 (chem/finetune.py:87), "
+                        "8 under --cv_fold (finetune_mutag_ptc.py:87); "
+                        "finetune_tune.sh's second block sweeps 8 and 64")
     p.add_argument("--epochs", type=int, default=100)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--lr_scale", type=float, default=1.0)
@@ -124,20 +129,41 @@ def main(argv=None):
         emb_dim=args.emb_dim, dropout_ratio=args.dropout_ratio,
         graph_pooling=args.graph_pooling, jk=args.jk,
         gnn_type=args.gnn_type, lr=args.lr, lr_scale=args.lr_scale,
-        decay=args.decay, batch_size=args.batch_size, epochs=args.epochs,
+        decay=args.decay,
+        batch_size=args.batch_size or (8 if args.cv_fold >= 0 else 32),
+        epochs=args.epochs,
         seed=args.seed, runseed=args.runseed, packing=args.packing,
         halo_devices=args.halo_devices, eval_train=bool(args.eval_train),
     )
     trunk = load_trunk_any(args.input_model_file) if args.input_model_file \
         else None
     if args.cv_fold >= 0:
-        cfg.batch_size = min(cfg.batch_size, 8)  # reference default batch 8
         res = finetune.run_finetune_cv(
             cfg, graphs, fold_idx=args.cv_fold, pretrained_trunk=trunk,
         )
         out = {"dataset": args.dataset, "fold": args.cv_fold,
                "val_acc": res["val_auc"], "acc": res["test_auc"],
                "best_epoch": res["best_epoch"]}
+        # full result.json so cli.aggregate can fold-aggregate the
+        # mutag/ptc block like the seeds of the main block
+        run_dir = os.path.join(
+            args.run_dir,
+            f"{args.dataset}_drop{args.dropout_ratio:g}"
+            f"_bsize{cfg.batch_size}_fold{args.cv_fold}"
+            + (f"_{args.filename}" if args.filename else ""),
+        )
+        os.makedirs(run_dir, exist_ok=True)
+        with open(os.path.join(run_dir, "result.json"), "w") as f:
+            json.dump({
+                "dataset": (f"{args.dataset}_drop{args.dropout_ratio:g}"
+                            f"_bsize{cfg.batch_size}"),
+                "fold": args.cv_fold,
+                "config": {k: v for k, v in vars(args).items()},
+                "val": res["curves"]["val"],
+                "test": res["curves"]["test"],
+                "metric": "accuracy",
+                "best_epoch": res["best_epoch"],
+            }, f)
         print(json.dumps(out))
         return out
 
@@ -182,6 +208,12 @@ def main(argv=None):
         out[f"{name}_auc"] = res["curves"][name][res["best_epoch"] - 1]
     if "train" in res["curves"]:
         out["train"] = res["curves"]["train"]
+    for name, arr in (res.get("task_auc") or {}).items():
+        # bio per-task AUCs at the selected epoch (NaN -> null in JSON;
+        # feeds cli.aggregate's pairwise scatter, result_analysis.py:84+)
+        out[f"{name}_task_auc"] = [
+            None if not np.isfinite(v) else float(v) for v in arr
+        ]
     with open(os.path.join(run_dir, "result.json"), "w") as f:
         json.dump(out, f)
     print(json.dumps({"val_auc": res["val_auc"],

@@ -21,6 +21,12 @@ GIN_CONFIGS = ["nopretrain", "infomax", "edgepred", "masking",
                "contextpred", "supervised", "supervised_infomax",
                "supervised_edgepred", "supervised_masking",
                "supervised_contextpred"]
+# finetune_tune.sh's SECOND block (the mutag/ptc CV sweep): batch {8,64}
+# x dropout {0,0.2,0.5} x {ptc_mr,mutag} x 10 configs, one 10-fold CV run
+# each, fold passed per invocation ($1 = fold_idx)
+CV_DATASETS = ["ptc_mr", "mutag"]
+CV_BATCH_SIZES = [8, 64]
+CV_DROPOUTS = [0.0, 0.2, 0.5]
 
 
 def main(argv=None):
@@ -39,6 +45,17 @@ def main(argv=None):
     p.add_argument("--dropout_ratio", type=float, default=0.5)
     p.add_argument("--split", default=None)
     p.add_argument("--n_synthetic", type=int, default=800)
+    # --- the mutag/ptc CV block (finetune_tune.sh second half) ---
+    p.add_argument("--cv_block", type=int, default=0,
+                   help="also run the mutag/ptc 10-fold CV sweep "
+                        "(batch {8,64} x dropout {0,0.2,0.5})")
+    p.add_argument("--cv_datasets", nargs="+", default=CV_DATASETS)
+    p.add_argument("--cv_batch_sizes", type=int, nargs="+",
+                   default=CV_BATCH_SIZES)
+    p.add_argument("--cv_dropouts", type=float, nargs="+",
+                   default=CV_DROPOUTS)
+    p.add_argument("--cv_folds", type=int, nargs="+",
+                   default=list(range(10)))
     args = p.parse_args(argv)
 
     from pretrain_gnns_tpu.cli import finetune as ft_cli
@@ -80,6 +97,44 @@ def main(argv=None):
                      "test_auc": out["test_auc"],
                      "val_auc": out["val_auc"]}
                 )
+    if args.cv_block:
+        # finetune_tune.sh's second half: hyperparameter grid x 10-fold
+        # CV on the small TU datasets, accuracy metric
+        for bs in args.cv_batch_sizes:
+            for drop in args.cv_dropouts:
+                for dataset in args.cv_datasets:
+                    for config in args.configs:
+                        model_file = ""
+                        if config != "nopretrain":
+                            cand = os.path.join(args.model_dir,
+                                                f"{config}.pth")
+                            if os.path.exists(cand):
+                                model_file = cand
+                        for fold in args.cv_folds:
+                            argv_cv = [
+                                "--dataset", dataset,
+                                "--cv_fold", str(fold),
+                                "--batch_size", str(bs),
+                                "--dropout_ratio", str(drop),
+                                "--gnn_type", args.gnn_type,
+                                "--epochs", str(args.epochs),
+                                "--run_dir", os.path.join(
+                                    args.result_dir, "cv"
+                                ),
+                                "--filename", config,
+                                "--n_synthetic", str(args.n_synthetic),
+                            ]
+                            if model_file:
+                                argv_cv += ["--input_model_file",
+                                            model_file]
+                            out = ft_cli.main(argv_cv)
+                            results.append({
+                                "dataset": (f"{dataset}_drop{drop:g}"
+                                            f"_bsize{bs}"),
+                                "config": config, "fold": fold,
+                                "acc": out["acc"],
+                                "val_acc": out["val_acc"],
+                            })
     os.makedirs(args.result_dir, exist_ok=True)
     with open(os.path.join(args.result_dir, "sweep_summary.json"),
               "w") as f:

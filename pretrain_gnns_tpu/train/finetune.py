@@ -214,12 +214,14 @@ def make_eval_step(model):
 
 
 def evaluate(eval_step, state, loader: PackedLoader,
-             metric: str = "chem_auc") -> float:
+             metric: str = "chem_auc", return_tasks: bool = False):
     """Run the model over a loader, collect valid-graph scores/labels, and
     compute the protocol metric on host (chem/finetune.py:49-77). Items
     may be ``(host_batch, device_batch)`` pairs — the pre-sharded halo
     eval path — in which case labels come from the host copy and the step
-    consumes the device copy."""
+    consumes the device copy. ``return_tasks`` additionally returns the
+    per-task AUC array (bio metric; None otherwise) — the data behind
+    bio/result_analysis.py's pairwise scatter plots."""
     ys, ss = [], []
     for batch in loader:
         if isinstance(batch, tuple):
@@ -233,11 +235,15 @@ def evaluate(eval_step, state, loader: PackedLoader,
     y = np.concatenate(ys)
     s = np.concatenate(ss)
     if metric == "chem_auc":
-        return metrics.chem_mean_auc(y, s)
+        out = metrics.chem_mean_auc(y, s)
+        return (out, None) if return_tasks else out
     if metric == "bio_auc":
-        return float(np.nanmean(metrics.bio_auc_array(y, s)))
+        arr = metrics.bio_auc_array(y, s)
+        out = float(np.nanmean(arr))
+        return (out, arr) if return_tasks else out
     if metric == "accuracy":
-        return metrics.accuracy_from_scores(y[:, 0], s[:, 0])
+        out = metrics.accuracy_from_scores(y[:, 0], s[:, 0])
+        return (out, None) if return_tasks else out
     raise ValueError(metric)
 
 
@@ -343,6 +349,7 @@ def run_finetune(
         eval_step = make_eval_step(model)
 
     curves = {"train_loss": [], "val": [], "test": []}
+    curves_tasks: Dict[str, list] = {}  # bio: per-task AUC arrays/epoch
     for name in extra_loaders:
         curves[name] = []
     for epoch in range(1, cfg.epochs + 1):
@@ -355,11 +362,16 @@ def run_finetune(
             step_losses.append(loss)
             nb += 1
         tot = float(jnp.sum(jnp.stack(step_losses))) if step_losses else 0.0
+        track_tasks = metric == "bio_auc"
         val_auc = evaluate(eval_step, state, eval_sets["val"], metric)
-        test_auc = evaluate(eval_step, state, eval_sets["test"], metric)
+        test_auc, test_tasks = evaluate(
+            eval_step, state, eval_sets["test"], metric, return_tasks=True
+        )
         curves["train_loss"].append(tot / max(nb, 1))
         curves["val"].append(val_auc)
         curves["test"].append(test_auc)
+        if track_tasks:
+            curves_tasks.setdefault("test", []).append(test_tasks)
         if epoch == 1 and log:
             stats = getattr(train_loader, "last_epoch_stats", None)
             if stats:
@@ -367,9 +379,13 @@ def run_finetune(
                     f"{stats['graphs_per_batch']:.1f} graphs/batch "
                     f"(batch_size={cfg.batch_size})")
         for name in extra_loaders:
-            curves[name].append(
-                evaluate(eval_step, state, eval_sets[name], metric)
+            auc, tasks = evaluate(
+                eval_step, state, eval_sets[name], metric,
+                return_tasks=True,
             )
+            curves[name].append(auc)
+            if track_tasks:
+                curves_tasks.setdefault(name, []).append(tasks)
         if log:
             log(
                 f"epoch {epoch}: loss {curves['train_loss'][-1]:.4f} "
@@ -377,13 +393,20 @@ def run_finetune(
             )
 
     best_epoch = int(np.argmax(curves["val"]))
-    return {
+    out = {
         "curves": curves,
         "best_epoch": best_epoch + 1,
         "val_auc": curves["val"][best_epoch],
         "test_auc": curves["test"][best_epoch],
         "state": state,
     }
+    if curves_tasks:
+        # per-task AUCs at the selected epoch (the data behind
+        # bio/result_analysis.py:84-139's pairwise scatter plots)
+        out["task_auc"] = {
+            name: arrs[best_epoch] for name, arrs in curves_tasks.items()
+        }
+    return out
 
 
 def run_finetune_cv(
