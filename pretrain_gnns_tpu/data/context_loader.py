@@ -369,6 +369,8 @@ class DeviceContextLoader(EpochStackMixin, PresampledContextLoader):
                 {"node8": n8, "edge8": e8}, d, mn, me,
                 fn=aux["fn"], fe=aux["fe"], with_y=False,
                 block_nodes=bn, block_edges=be,
+                node_dtype=aux["node_dtype"],
+                edge_dtype=aux["edge_dtype"],
             )
 
         bks = (self.bn_s, self.be_s) if self.blocked else (0, 0)

@@ -68,11 +68,22 @@ def build_device_flat(flat: FlatGraphs, as_numpy: bool = False):
 
     lens_n = np.diff(flat.node_off)
     lens_e = np.diff(flat.edge_off)
-    if not np.issubdtype(flat.node_feat.dtype, np.integer) or \
-            not np.issubdtype(flat.edge_feat.dtype, np.integer):
-        raise ValueError("device dataset requires integer features")
-    fn = int(np.prod(flat.node_feat.shape[1:], initial=1))
-    fe = int(np.prod(flat.edge_feat.shape[1:], initial=1))
+
+    def _as_int(a, what):
+        """The chunk layout stores int32 rows. Integer features pass
+        through; float features (bio: 0/1 indicator vectors) are stored
+        as int32 and cast back at materialize time — anything genuinely
+        fractional cannot ride the resident layout."""
+        if np.issubdtype(a.dtype, np.integer):
+            return a, None
+        ai = a.astype(np.int32)
+        if not np.array_equal(ai, a):
+            raise ValueError(f"device dataset requires integral {what}")
+        return ai, a.dtype
+    node_feat, node_dtype = _as_int(flat.node_feat, "node features")
+    edge_feat, edge_dtype = _as_int(flat.edge_feat, "edge features")
+    fn = int(np.prod(node_feat.shape[1:], initial=1))
+    fe = int(np.prod(edge_feat.shape[1:], initial=1))
 
     cn = _ceil8(lens_n) // CHUNK  # chunks per graph
     ce = _ceil8(lens_e) // CHUNK
@@ -81,12 +92,12 @@ def build_device_flat(flat: FlatGraphs, as_numpy: bool = False):
 
     node8 = np.zeros((int(cn.sum()) * CHUNK, fn), np.int32)
     pos, _ = _scatter_runs(node_chunk_off * CHUNK, lens_n)
-    node8[pos] = flat.node_feat.reshape(-1, fn)
+    node8[pos] = node_feat.reshape(-1, fn)
     node8 = node8.reshape(-1, CHUNK * fn)
 
     edge8 = np.zeros((int(ce.sum()) * CHUNK, fe + 2), np.int32)
     epos, _ = _scatter_runs(edge_chunk_off * CHUNK, lens_e)
-    edge8[epos, :fe] = flat.edge_feat.reshape(-1, fe)
+    edge8[epos, :fe] = edge_feat.reshape(-1, fe)
     edge8[epos, fe] = flat.send
     edge8[epos, fe + 1] = flat.recv
     edge8 = edge8.reshape(-1, CHUNK * (fe + 2))
@@ -101,6 +112,7 @@ def build_device_flat(flat: FlatGraphs, as_numpy: bool = False):
         "lens_n8": _ceil8(lens_n).astype(np.int64),
         "lens_e8": _ceil8(lens_e).astype(np.int64),
         "fn": fn, "fe": fe,
+        "node_dtype": node_dtype, "edge_dtype": edge_dtype,
     }
     return dev, aux
 
@@ -117,8 +129,12 @@ def materialize(
     with_y: bool = True,
     mask_atom_token: int = 119,
     mask_bond_token: int = 5,
+    node_dtype=None,
+    edge_dtype=None,
 ) -> PackedGraphs:
-    """Jit-traceable: descriptor -> PackedGraphs. Pure wide-row gathers."""
+    """Jit-traceable: descriptor -> PackedGraphs. Pure wide-row gathers.
+    ``node_dtype``/``edge_dtype`` restore float feature dtypes stored as
+    int32 in the resident chunks (bio indicator features)."""
     import jax.numpy as jnp
 
     gid = desc["gid"]
@@ -131,11 +147,15 @@ def materialize(
         dev["node8"], desc["node_chunk_rows"], axis=0
     ).reshape(max_nodes, fn)
     node_feat = jnp.where(nvalid[:, None], node_feat, 0)
+    if node_dtype is not None:
+        node_feat = node_feat.astype(node_dtype)
 
     epack = jnp.take(
         dev["edge8"], desc["edge_chunk_rows"], axis=0
     ).reshape(max_edges, fe + 2)
     edge_feat = jnp.where(evalid[:, None], epack[:, :fe], 0)
+    if edge_dtype is not None:
+        edge_feat = edge_feat.astype(edge_dtype)
     nbase = jnp.repeat(
         desc["edge_chunk_nbase"], CHUNK, total_repeat_length=max_edges
     )
@@ -154,6 +174,21 @@ def materialize(
     if "negative_edges" in desc:
         extras["negative_edges"] = desc["negative_edges"]
         extras["negative_edges_mask"] = desc["negative_edges_mask"]
+    if "masked_edge_idx" in desc:
+        # bio edge masking (bio/util.py:46-104): labels from the CLEAN
+        # materialized features, then BOTH directions overwritten with
+        # the mask indicator [0,...,0,1]
+        eidx = desc["masked_edge_idx"]
+        em = desc["masked_edge_idx_mask"]
+        extras["masked_edge_idx"] = eidx
+        extras["masked_edge_idx_mask"] = em
+        extras["mask_edge_label"] = jnp.where(
+            em[:, None], jnp.take(edge_feat, eidx, axis=0), 0
+        )
+        extras["mask_edge_label_mask"] = em
+        mask_feat = jnp.zeros((fe,), edge_feat.dtype).at[-1].set(1)
+        mb = desc["masked_edge_bool"] & evalid
+        edge_feat = jnp.where(mb[:, None], mask_feat, edge_feat)
     if "masked_bool" in desc:
         # chem attribute masking: labels gathered from the CLEAN
         # materialized features, then tokens written via where
@@ -363,9 +398,11 @@ class DeviceBatchLoader(EpochStackMixin):
         blocks: Optional[Tuple[int, int, int]] = None,
         mask_spec: Optional[dict] = None,
         neg_spec: Optional[dict] = None,
+        bio_mask_spec: Optional[dict] = None,
     ):
         self.flat = flat
         self.dev, self._aux = build_device_flat(flat)
+        self.bio_mask_spec = bio_mask_spec
         self.batch_size = batch_size
         self.blocks = blocks
         if blocks is not None:
@@ -404,6 +441,8 @@ class DeviceBatchLoader(EpochStackMixin):
             block_nodes=bn, block_edges=be,
             mask_atom_token=ms.get("atom_token", 119),
             mask_bond_token=ms.get("bond_token", 5),
+            node_dtype=self._aux["node_dtype"],
+            edge_dtype=self._aux["edge_dtype"],
         )
 
     def prepare(self, desc) -> PackedGraphs:
@@ -431,7 +470,47 @@ class DeviceBatchLoader(EpochStackMixin):
                               nstart, estart, rng)
         if self.neg_spec is not None:
             self._add_negatives(desc, ids, nstart[:k], rng)
+        if self.bio_mask_spec is not None:
+            self._add_bio_masking(desc, ids, estart[:k], rng)
         return desc
+
+    def _add_bio_masking(self, desc, ids, estarts, rng):
+        """bio MaskEdge (bio/util.py:46-104) in flat-local bond space:
+        per graph sample int(E_undirected * rate) + 1 distinct bonds;
+        ship the even-slot representatives + a both-directions bool; the
+        labels/feature overwrite happen on device from the CLEAN
+        materialized features."""
+        from pretrain_gnns_tpu.data.batch_transforms import (
+            sample_per_group_np,
+        )
+
+        ms = self.bio_mask_spec
+        k = len(ids)
+        nbonds = self._lens_e[ids] // 2
+        tot = int(nbonds.sum())
+        gid_b = np.repeat(np.arange(k), nbonds)
+        sel = sample_per_group_np(
+            rng, gid_b, np.ones(tot, bool), k, ms["rate"]
+        )
+        within = np.arange(tot) - np.repeat(
+            np.cumsum(nbonds) - nbonds, nbonds
+        )
+        slots = (
+            np.repeat(estarts, nbonds) + 2 * within
+        )[sel].astype(np.int32)
+        budget = ms["budget"]
+        if len(slots) > budget:
+            raise ValueError(f"{len(slots)} masked bonds > {budget}")
+        pad = np.zeros(budget, np.int32)
+        pad[: len(slots)] = slots
+        m = np.zeros(budget, bool)
+        m[: len(slots)] = True
+        mb = np.zeros(self.max_edges, bool)
+        mb[slots] = True
+        mb[slots + 1] = True
+        desc["masked_edge_idx"] = pad
+        desc["masked_edge_idx_mask"] = m
+        desc["masked_edge_bool"] = mb
 
     def _add_negatives(self, desc, ids, nstarts, rng):
         """NegativeEdge (chem/util.py:22-52) vectorized in flat-local

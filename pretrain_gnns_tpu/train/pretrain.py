@@ -107,8 +107,14 @@ def use_device_dataset(cfg: PretrainConfig) -> bool:
         # without the epoch scan, the DP path consumes host-packed
         # batches (grouped + shard_global_batch), not descriptors
         return False
-    if cfg.domain != "chem" or cfg.objective not in (
-            "masking", "infomax", "edgepred", "contextpred"):
+    ok = (
+        cfg.objective in ("masking", "infomax", "edgepred", "contextpred")
+        if cfg.domain == "chem"
+        # bio indicator features ride the int32 chunk layout (cast back
+        # at materialize time); masking is the bio fast-path objective
+        else cfg.objective == "masking"
+    )
+    if not ok:
         return False
     if cfg.device_dataset == "on":
         return True
@@ -163,7 +169,8 @@ def build_objective(cfg: PretrainConfig):
 
 
 def _try_device_loader(cfg, graphs, blocks, mn, me, drop_last,
-                       mask_spec=None, neg_spec=None):
+                       mask_spec=None, neg_spec=None,
+                       bio_mask_spec=None):
     """DeviceBatchLoader when the dataset flattens cleanly; None = fall
     back to the host packers."""
     from pretrain_gnns_tpu.data.device_pack import DeviceBatchLoader
@@ -171,12 +178,13 @@ def _try_device_loader(cfg, graphs, blocks, mn, me, drop_last,
 
     try:
         flat = FlatGraphs.from_graphs(list(graphs))
+        return DeviceBatchLoader(
+            flat, cfg.batch_size, mn, me, seed=cfg.seed, blocks=blocks,
+            drop_last=drop_last, mask_spec=mask_spec, neg_spec=neg_spec,
+            bio_mask_spec=bio_mask_spec,
+        )
     except (ValueError, IndexError):
         return None
-    return DeviceBatchLoader(
-        flat, cfg.batch_size, mn, me, seed=cfg.seed, blocks=blocks,
-        drop_last=drop_last, mask_spec=mask_spec, neg_spec=neg_spec,
-    )
 
 
 def build_loader(cfg: PretrainConfig, graphs: Sequence[Graph],
@@ -204,7 +212,16 @@ def build_loader(cfg: PretrainConfig, graphs: Sequence[Graph],
                            "mask_edge_label": n_masked, **base_pad},
                 drop_last=drop_last,
             )
-        # default: flat/C++ packer + ONE vectorized masking pass per batch
+        if use_device_dataset(cfg):
+            # device-resident bio dataset: indicator features stored as
+            # int32 chunks, masking rides the descriptors
+            dl = _try_device_loader(
+                cfg, graphs, blocks, mn, me, drop_last,
+                bio_mask_spec=dict(rate=cfg.mask_rate, budget=n_masked),
+            )
+            if dl is not None:
+                return dl
+        # flat/C++ packer + ONE vectorized masking pass per batch
         from pretrain_gnns_tpu.data.batch_transforms import BatchMaskEdge
         from pretrain_gnns_tpu.data.packing import make_loader
 

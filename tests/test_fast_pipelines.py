@@ -262,3 +262,57 @@ def test_device_context_epoch_training():
     assert type(res["loader"]).__name__ == "DeviceContextLoader"
     assert all(np.isfinite(h["loss"]) for h in res["history"])
     assert res["history"][-1]["loss"] < res["history"][0]["loss"]
+
+
+def test_device_loader_bio_masking():
+    """Bio device residency: 0/1 float features survive the int32 chunk
+    round-trip, masked bonds obey MaskEdge semantics (even-slot
+    representatives, clean labels, both directions overwritten), and
+    run_pretrain trains through the epoch-resident path."""
+    from pretrain_gnns_tpu.data.device_pack import DeviceBatchLoader
+    from pretrain_gnns_tpu.data.flat import FlatGraphs
+    from pretrain_gnns_tpu.train import pretrain
+
+    graphs = bio_dataset(32, num_downstream=2, seed=0, mean_nodes=20)
+    for g in graphs:
+        g.extras = {"center_node_idx": g.extras["center_node_idx"]}
+    flat = FlatGraphs.from_graphs(graphs)
+    dl = DeviceBatchLoader(flat, 8, 512, 4096, seed=0,
+                           bio_mask_spec=dict(rate=0.15, budget=512))
+    desc = next(iter(dl))
+    p = dl.prepare(desc)
+    assert p.edge_feat.dtype == np.float32
+    assert p.node_feat.dtype == np.float32
+    eidx = np.asarray(p.extras["masked_edge_idx"])
+    m = np.asarray(p.extras["masked_edge_idx_mask"])
+    sel = eidx[m]
+    assert (sel % 2 == 0).all()
+    ef = np.asarray(p.edge_feat)
+    mask_feat = np.zeros(ef.shape[1], ef.dtype)
+    mask_feat[-1] = 1
+    assert (ef[sel] == mask_feat).all() and (ef[sel + 1] == mask_feat).all()
+    labels = np.asarray(p.extras["mask_edge_label"])[m]
+    assert not (labels == mask_feat).all(axis=1).any()
+    # per-graph counts == int(E_undirected * rate) + 1
+    node_graph = np.asarray(p.node_graph)
+    rcv = np.asarray(p.receivers)
+    em = np.asarray(p.edge_mask)
+    eg = np.bincount(node_graph[rcv[em]], minlength=8)
+    expect = (eg // 2 * 0.15).astype(int) + 1
+    got = np.bincount(node_graph[rcv[sel]], minlength=8)
+    np.testing.assert_array_equal(got[eg > 0], expect[eg > 0])
+    # unmasked edges keep valid 0/1 indicator rows (dtype round-trip)
+    untouched = em.copy()
+    untouched[sel] = False
+    untouched[sel + 1] = False
+    assert np.isin(ef[untouched], (0.0, 1.0)).all()
+    assert (ef[untouched][:, -1] == 0).all()  # mask flag only on masked
+
+    cfg = pretrain.PretrainConfig(
+        objective="masking", domain="bio", num_layer=2, emb_dim=16,
+        batch_size=8, seed=0, device_dataset="on", scan_steps=2,
+        packing="standard",
+    )
+    res = pretrain.run_pretrain(cfg, graphs, log=None, epochs=2)
+    assert type(res["loader"]).__name__ == "DeviceBatchLoader"
+    assert all(np.isfinite(h["loss"]) for h in res["history"])
