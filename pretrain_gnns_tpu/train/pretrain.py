@@ -111,8 +111,9 @@ def use_device_dataset(cfg: PretrainConfig) -> bool:
         cfg.objective in ("masking", "infomax", "edgepred", "contextpred")
         if cfg.domain == "chem"
         # bio indicator features ride the int32 chunk layout (cast back
-        # at materialize time); masking is the bio fast-path objective
-        else cfg.objective == "masking"
+        # at materialize time); the SSL trunks never read the center
+        # extra, so the extras-free device loader is sufficient
+        else cfg.objective in ("masking", "edgepred", "infomax")
     )
     if not ok:
         return False
@@ -289,8 +290,10 @@ def build_loader(cfg: PretrainConfig, graphs: Sequence[Graph],
                                 extra_pad={"negative_edges": me // 2,
                                            **base_pad},
                                 blocks=blocks, drop_last=drop_last)
-        if use_device_dataset(cfg) and not base_pad:
+        if use_device_dataset(cfg):
             # device-resident dataset; negatives ride the descriptors
+            # (the bio center extra is unused by the SSL trunks, so the
+            # extras-free device loader applies to both domains)
             dl = _try_device_loader(cfg, graphs, blocks, mn, me, drop_last,
                                     neg_spec=dict(budget=me // 2))
             if dl is not None:
@@ -307,7 +310,7 @@ def build_loader(cfg: PretrainConfig, graphs: Sequence[Graph],
             post_transform=BatchNegativeEdge(edge_budget=me // 2),
         )
     if cfg.objective == "infomax":
-        if use_device_dataset(cfg) and not base_pad:
+        if use_device_dataset(cfg):
             dl = _try_device_loader(cfg, graphs, blocks, mn, me, drop_last)
             if dl is not None:
                 return dl
