@@ -65,6 +65,53 @@ def sample_masked_nodes_np(
                                mask_rate)
 
 
+def negative_candidates_np(rng: np.random.Generator,
+                           n_per_group: np.ndarray,
+                           e_per_group: np.ndarray):
+    """Candidate pool for NegativeEdge-style rejection sampling: per group
+    draw ``5 * E_g`` uniform (a, b) local-node pairs. Returns
+    (group_id, a_local, b_local, cand_per)."""
+    cand_per = 5 * e_per_group
+    C = int(cand_per.sum())
+    gid = np.repeat(np.arange(len(e_per_group)), cand_per)
+    u = rng.random((C, 2))
+    n = n_per_group[gid]
+    a = (u[:, 0] * n).astype(np.int64)
+    b = (u[:, 1] * n).astype(np.int64)
+    return gid, a, b, cand_per
+
+
+def select_first_valid_np(key: np.ndarray, exist_sorted: np.ndarray,
+                          selfloop: np.ndarray, cand_per: np.ndarray,
+                          want: np.ndarray, gid: np.ndarray) -> np.ndarray:
+    """Shared core of the reference's NegativeEdge acceptance loop
+    (chem/util.py:22-52), vectorized: reject self-loops, existing
+    directed edges (searchsorted membership over ``exist_sorted`` keys),
+    and duplicates (np.unique first-occurrence — an identical earlier
+    candidate that was itself invalid implies the later copy is invalid
+    too, so dedup-over-all equals the reference's dedup-over-accepted);
+    then keep each group's first ``want`` survivors in candidate order.
+    Returns the take mask over candidates."""
+    C = len(key)
+    pos = np.minimum(np.searchsorted(exist_sorted, key),
+                     max(len(exist_sorted) - 1, 0))
+    exists = (
+        (exist_sorted[pos] == key) if len(exist_sorted)
+        else np.zeros(C, bool)
+    )
+    first_idx = np.unique(key, return_index=True)[1]
+    is_first = np.zeros(C, bool)
+    is_first[first_idx] = True
+    ok = ~selfloop & ~exists & is_first
+
+    csum = np.cumsum(ok)
+    run_start = np.concatenate([[0], np.cumsum(cand_per)[:-1]])
+    cum_before = np.where(run_start > 0,
+                          csum[np.maximum(run_start - 1, 0)], 0)
+    rank = csum - np.repeat(cum_before, cand_per) - 1
+    return ok & (rank < want[gid])
+
+
 def _graph_slot_ranges(p: PackedGraphs):
     """(start, count) of each graph's contiguous node-slot run. Both
     packers place a graph's nodes contiguously (within one block for the
@@ -118,37 +165,18 @@ class BatchNegativeEdge:
         starts, counts_n = _graph_slot_ranges(p)
 
         e_counts = np.bincount(node_graph[rcv[emask]], minlength=G)
-        want = e_counts // 2
-        cand_per = 5 * e_counts
-        C = int(cand_per.sum())
-        gid_c = np.repeat(np.arange(G), cand_per)
-        u = rng.random((C, 2))
-        n_c = counts_n[gid_c]
-        a = starts[gid_c] + (u[:, 0] * n_c).astype(np.int64)
-        b = starts[gid_c] + (u[:, 1] * n_c).astype(np.int64)
-
+        gid_c, a_loc, b_loc, cand_per = negative_candidates_np(
+            rng, counts_n, e_counts
+        )
+        a = starts[gid_c] + a_loc
+        b = starts[gid_c] + b_loc
         keys_exist = np.sort(
             rcv[emask].astype(np.int64) * Np + snd[emask]
         )
-        key = a * Np + b
-        pos = np.searchsorted(keys_exist, key)
-        pos = np.minimum(pos, max(len(keys_exist) - 1, 0))
-        exists = (
-            keys_exist[pos] == key if len(keys_exist) else
-            np.zeros(C, bool)
+        take = select_first_valid_np(
+            a * Np + b, keys_exist, a == b, cand_per, e_counts // 2,
+            gid_c,
         )
-        first_idx = np.unique(key, return_index=True)[1]
-        is_first = np.zeros(C, bool)
-        is_first[first_idx] = True
-        ok = (a != b) & ~exists & is_first
-
-        # rank of each valid candidate within its graph's candidate run
-        csum = np.cumsum(ok)
-        run_start = np.concatenate([[0], np.cumsum(cand_per)[:-1]])
-        cum_before = np.where(run_start > 0,
-                              csum[np.maximum(run_start - 1, 0)], 0)
-        rank = csum - np.repeat(cum_before, cand_per) - 1
-        take = ok & (rank < want[gid_c])
 
         pairs = np.stack([a[take], b[take]], axis=1).astype(np.int32)
         budget = self.edge_budget or p.max_edges // 2

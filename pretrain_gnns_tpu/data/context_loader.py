@@ -178,6 +178,25 @@ class PresampledContextLoader:
             n / self.batch_size
         )
 
+    def _overlap_padded(self, v: int, ids: np.ndarray,
+                        ctx_starts: np.ndarray, pad_len: int):
+        """Ragged per-graph overlap indices -> padded slot-space array +
+        mask, offset by each graph's packed context start (np.repeat
+        trick; shared by the host and device loaders)."""
+        off = self._ov_off[v]
+        lens = off[ids + 1] - off[ids]
+        tot = int(lens.sum())
+        within = np.arange(tot) - np.repeat(
+            np.cumsum(lens) - lens, lens
+        )
+        src = np.repeat(off[ids], lens) + within
+        vals = self._ov_flat[v][src] + np.repeat(ctx_starts, lens)
+        pad = np.zeros(pad_len, np.int32)
+        pad[:tot] = vals
+        m = np.zeros(pad_len, bool)
+        m[:tot] = True
+        return pad, m
+
     def _batch(self, v: int, ids: np.ndarray
                ) -> Tuple[PackedGraphs, PackedGraphs]:
         sub = self._sub[v].pack(
@@ -187,22 +206,9 @@ class PresampledContextLoader:
         ctx = self._ctx[v].pack(
             ids, self.max_nodes, self.max_edges, self.batch_size,
         )
-        # overlap indices are ragged per graph: offset into the packed
-        # context's node slots with the np.repeat trick
-        off = self._ov_off[v]
-        lens = off[ids + 1] - off[ids]
-        tot = int(lens.sum())
-        within = np.arange(tot) - np.repeat(
-            np.cumsum(lens) - lens, lens
-        )
-        src = np.repeat(off[ids], lens) + within
         cn = np.diff(self._ctx[v].node_off)[ids]
         cur = np.concatenate([[0], np.cumsum(cn)[:-1]])
-        vals = self._ov_flat[v][src] + np.repeat(cur, lens)
-        pad = np.zeros(self.max_nodes, np.int32)
-        pad[:tot] = vals
-        m = np.zeros(self.max_nodes, bool)
-        m[:tot] = True
+        pad, m = self._overlap_padded(v, ids, cur, self.max_nodes)
         extras = dict(ctx.extras or {})
         extras["overlap_context_substruct_idx"] = pad
         extras["overlap_context_substruct_idx_mask"] = m
@@ -434,16 +440,7 @@ class DeviceContextLoader(EpochStackMixin, PresampledContextLoader):
         desc["center_slots"] = center
 
         # ragged overlap indices offset into the packed context slots
-        off = self._ov_off[v]
-        lens = off[ids + 1] - off[ids]
-        tot = int(lens.sum())
-        within = np.arange(tot) - np.repeat(np.cumsum(lens) - lens, lens)
-        src = np.repeat(off[ids], lens) + within
-        vals = self._ov_flat[v][src] + np.repeat(ns_ctx, lens)
-        pad = np.zeros(self.mn_c, np.int32)
-        pad[:tot] = vals
-        m = np.zeros(self.mn_c, bool)
-        m[:tot] = True
+        pad, m = self._overlap_padded(v, ids, ns_ctx, self.mn_c)
         desc["overlap_slots"] = pad
         desc["overlap_mask"] = m
         return desc

@@ -515,18 +515,17 @@ class DeviceBatchLoader(EpochStackMixin):
     def _add_negatives(self, desc, ids, nstarts, rng):
         """NegativeEdge (chem/util.py:22-52) vectorized in flat-local
         space: per graph draw 5E uniform pairs, keep the first E//2 that
-        are not self-loops / existing directed edges / earlier picks."""
+        are not self-loops / existing directed edges / earlier picks
+        (shared core: batch_transforms.select_first_valid_np)."""
+        from pretrain_gnns_tpu.data.batch_transforms import (
+            negative_candidates_np, select_first_valid_np,
+        )
+
         flat = self.flat
         k = len(ids)
         lens_n = self._lens_n[ids]
         lens_e = self._lens_e[ids]
-        want = lens_e // 2
-        cand_per = 5 * lens_e
-        C = int(cand_per.sum())
-        gi = np.repeat(np.arange(k), cand_per)
-        u = rng.random((C, 2))
-        a = (u[:, 0] * lens_n[gi]).astype(np.int64)
-        b = (u[:, 1] * lens_n[gi]).astype(np.int64)
+        gi, a, b, cand_per = negative_candidates_np(rng, lens_n, lens_e)
 
         etot = int(lens_e.sum())
         within = np.arange(etot) - np.repeat(
@@ -539,21 +538,10 @@ class DeviceBatchLoader(EpochStackMixin):
             eg * (M * M) + flat.recv[erow].astype(np.int64) * M
             + flat.send[erow]
         )
-        key = gi * (M * M) + a * M + b
-        pos = np.minimum(np.searchsorted(keys_exist, key),
-                         max(len(keys_exist) - 1, 0))
-        exists = (keys_exist[pos] == key) if etot else np.zeros(C, bool)
-        first_idx = np.unique(key, return_index=True)[1]
-        is_first = np.zeros(C, bool)
-        is_first[first_idx] = True
-        ok = (a != b) & ~exists & is_first
-
-        csum = np.cumsum(ok)
-        run_start = np.concatenate([[0], np.cumsum(cand_per)[:-1]])
-        cum_before = np.where(run_start > 0,
-                              csum[np.maximum(run_start - 1, 0)], 0)
-        rank = csum - np.repeat(cum_before, cand_per) - 1
-        take = ok & (rank < want[gi])
+        take = select_first_valid_np(
+            gi * (M * M) + a * M + b, keys_exist, a == b, cand_per,
+            lens_e // 2, gi,
+        )
 
         gt = gi[take]
         pairs = np.stack(

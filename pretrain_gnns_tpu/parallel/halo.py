@@ -261,11 +261,18 @@ class HaloSharder:
         import time
 
         t0 = time.perf_counter()
-        e_need, b_need = route_stats(batch, self.n_shards)
-        if (self.e_loc is None or e_need > self.e_loc
-                or b_need > self.b_max):
-            self._grow(e_need, b_need)
-        out = shard_packed(batch, self.n_shards, self.e_loc, self.b_max)
+        if self.e_loc is None:
+            self._grow(*route_stats(batch, self.n_shards))
+        try:
+            # steady state: one routing pass (shard_packed validates the
+            # buffers itself; a separate route_stats pre-pass would
+            # double the host cost this class exists to minimize)
+            out = shard_packed(batch, self.n_shards, self.e_loc,
+                               self.b_max)
+        except ValueError:
+            self._grow(*route_stats(batch, self.n_shards))
+            out = shard_packed(batch, self.n_shards, self.e_loc,
+                               self.b_max)
         dt = (time.perf_counter() - t0) * 1e3
         self.host_ms_per_batch = (
             dt if self.host_ms_per_batch is None

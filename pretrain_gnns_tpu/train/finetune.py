@@ -325,19 +325,26 @@ def run_finetune(
         # static halo buffers from DATASET-level maxima, derived ONCE: the
         # deterministic eval loaders plus one unshuffled pass over the
         # train set (r3 sized them per batch -> a recompile per distinct
-        # shard shape on heavy-tailed data)
-        prescan_loader = make_loader(train_graphs, cfg.batch_size, **kw)
+        # shard shape on heavy-tailed data). Each loader is packed once:
+        # the materialized batch lists feed both the reserve and the
+        # shard+upload precompute, and eval_train's loader doubles as the
+        # train prescan.
+        eval_batches = {
+            name: list(ldr) for name, ldr in eval_sets.items()
+        }
 
         def all_batches():
-            for ldr in (prescan_loader, *eval_sets.values()):
-                yield from ldr
+            for batches in eval_batches.values():
+                yield from batches
+            if "train" not in eval_batches:
+                yield from make_loader(train_graphs, cfg.batch_size, **kw)
 
         sharder.reserve(all_batches())
         # eval batches re-pack identically every epoch: shard + upload
         # them ONCE, keep the host copy for labels/masks
         eval_sets = {
-            name: [(b, sharder.shard_put(b)) for b in ldr]
-            for name, ldr in eval_sets.items()
+            name: [(b, sharder.shard_put(b)) for b in batches]
+            for name, batches in eval_batches.items()
         }
         # train batches are sharded on the prefetch thread, overlapped
         # with the in-flight device step

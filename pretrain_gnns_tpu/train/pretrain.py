@@ -184,7 +184,12 @@ def _try_device_loader(cfg, graphs, blocks, mn, me, drop_last,
             drop_last=drop_last, mask_spec=mask_spec, neg_spec=neg_spec,
             bio_mask_spec=bio_mask_spec,
         )
-    except (ValueError, IndexError):
+    except (ValueError, IndexError) as e:
+        # legitimate fallbacks exist (ragged extras, non-integral
+        # features) but a silent one hides config regressions as a pure
+        # perf loss — say why the slow path was taken
+        print(f"[pretrain] device-resident dataset unavailable ({e}); "
+              "using the host packing pipeline", flush=True)
         return None
 
 
@@ -601,9 +606,12 @@ def _run_epoch_mode(loader, state, epoch_step, desc_sharding,
             {k: float(v) / max(nb, 1) for k, v in metric_sums.items()}
         )
         if ep == start_epoch and log and stats:
+            over = stats["batches"] - steps_cap * group_w
             log(f"loader: {stats['batches']} batches, "
                 f"{stats['graphs_per_batch']:.1f} graphs/batch "
-                f"(epoch-resident scan, {steps_cap} steps/dispatch)")
+                f"(epoch-resident scan, {steps_cap} steps/dispatch"
+                + (f", +{over} overflow batches single-step"
+                   if over > 0 else "") + ")")
         history.append(row)
         if log:
             log(" ".join(f"{k}={v:.4f}" if isinstance(v, float) else
