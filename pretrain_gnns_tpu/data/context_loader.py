@@ -345,17 +345,20 @@ class DeviceContextLoader(EpochStackMixin, PresampledContextLoader):
                 )
                 return bn, be, (nb + 7) // 8 * 8
 
-            self.bn_s, self.be_s, nb1 = layout(
+            # INDEPENDENT block counts per stream: contexts (annuli) are
+            # much smaller than substructs (k-hop balls), and a shared
+            # count left the context buffers ~10% utilized — the context
+            # trunk was mostly processing padding
+            self.bn_s, self.be_s, self.nb_s = layout(
                 self._aux_s, "lens_n8", "lens_e8"
             )
-            self.bn_c, self.be_c, nb2 = layout(
+            self.bn_c, self.be_c, self.nb_c = layout(
                 self._aux_c, "lens_n8", "lens_e8"
             )
-            self.n_blocks = max(nb1, nb2)
-            self.mn_s = self.n_blocks * self.bn_s
-            self.me_s = self.n_blocks * self.be_s
-            self.mn_c = self.n_blocks * self.bn_c
-            self.me_c = self.n_blocks * self.be_c
+            self.mn_s = self.nb_s * self.bn_s
+            self.me_s = self.nb_s * self.be_s
+            self.mn_c = self.nb_c * self.bn_c
+            self.me_c = self.nb_c * self.be_c
         else:
             self.mn_s = self.mn_c = self.max_nodes
             self.me_s = self.me_c = self.max_edges
@@ -450,10 +453,10 @@ class DeviceContextLoader(EpochStackMixin, PresampledContextLoader):
                 int(d["s_edge_mask"].sum()) + int(d["c_edge_mask"].sum()))
 
     def _iter_blocked(self):
-        """Blocked-layout walk: graphs are first-fit into a SHARED block
-        assignment that must satisfy BOTH streams' block capacities;
-        per-stream slot cursors accumulate that stream's chunk-aligned
-        sizes within the assigned block."""
+        """Blocked-layout walk: each stream gets its own first-fit block
+        assignment (streams are independent graphs — no cross-stream
+        alignment beyond sharing the graph slot); a batch flushes when
+        EITHER stream runs out of block capacity."""
         v = self._epoch % self.variants
         rng = np.random.default_rng((self.seed, self._epoch))
         self._epoch += 1
@@ -468,31 +471,37 @@ class DeviceContextLoader(EpochStackMixin, PresampledContextLoader):
         ec8 = self._aux_c[v]["lens_e8"]
         se = np.diff(self._sub[v].edge_off)
         ce = np.diff(self._ctx[v].edge_off)
-        nb = self.n_blocks
         n_batches = n_graphs = n_edges = 0
 
         def new_state():
-            return [np.zeros(nb, np.int64) for _ in range(4)]
+            return (np.zeros(self.nb_s, np.int64),
+                    np.zeros(self.nb_s, np.int64),
+                    np.zeros(self.nb_c, np.int64),
+                    np.zeros(self.nb_c, np.int64))
 
         batch, pls = [], []
         fsn, fse, fcn, fce = new_state()
 
+        def fit(fn, fe, bn, be, nn, ne):
+            for b in range(len(fn)):
+                if fn[b] + nn <= bn and fe[b] + ne <= be:
+                    return b
+            return -1
+
         def place(gi):
-            for b in range(nb):
-                if (fsn[b] + ns8[gi] <= self.bn_s
-                        and fse[b] + es8[gi] <= self.be_s
-                        and fcn[b] + nc8[gi] <= self.bn_c
-                        and fce[b] + ec8[gi] <= self.be_c):
-                    pls.append((
-                        b * self.bn_s + fsn[b], b * self.be_s + fse[b],
-                        b * self.bn_c + fcn[b], b * self.be_c + fce[b],
-                    ))
-                    fsn[b] += ns8[gi]
-                    fse[b] += es8[gi]
-                    fcn[b] += nc8[gi]
-                    fce[b] += ec8[gi]
-                    return True
-            return False
+            bs = fit(fsn, fse, self.bn_s, self.be_s, ns8[gi], es8[gi])
+            bc = fit(fcn, fce, self.bn_c, self.be_c, nc8[gi], ec8[gi])
+            if bs < 0 or bc < 0:
+                return False
+            pls.append((
+                bs * self.bn_s + fsn[bs], bs * self.be_s + fse[bs],
+                bc * self.bn_c + fcn[bc], bc * self.be_c + fce[bc],
+            ))
+            fsn[bs] += ns8[gi]
+            fse[bs] += es8[gi]
+            fcn[bc] += nc8[gi]
+            fce[bc] += ec8[gi]
+            return True
 
         def flush():
             nonlocal n_batches, n_graphs, n_edges
