@@ -81,27 +81,46 @@ def negative_candidates_np(rng: np.random.Generator,
     return gid, a, b, cand_per
 
 
-def select_first_valid_np(key: np.ndarray, exist_sorted: np.ndarray,
-                          selfloop: np.ndarray, cand_per: np.ndarray,
-                          want: np.ndarray, gid: np.ndarray) -> np.ndarray:
+_DENSE_KEYSPACE_CAP = 1 << 24  # 16M flags ≈ the fast-path memory budget
+
+
+def select_first_valid_np(key: np.ndarray, exist_keys: np.ndarray,
+                          keyspace: int, selfloop: np.ndarray,
+                          cand_per: np.ndarray, want: np.ndarray,
+                          gid: np.ndarray) -> np.ndarray:
     """Shared core of the reference's NegativeEdge acceptance loop
     (chem/util.py:22-52), vectorized: reject self-loops, existing
-    directed edges (searchsorted membership over ``exist_sorted`` keys),
-    and duplicates (np.unique first-occurrence — an identical earlier
-    candidate that was itself invalid implies the later copy is invalid
-    too, so dedup-over-all equals the reference's dedup-over-accepted);
-    then keep each group's first ``want`` survivors in candidate order.
-    Returns the take mask over candidates."""
+    directed edges, and duplicates (first-occurrence — an identical
+    earlier candidate that was itself invalid implies the later copy is
+    invalid too, so dedup-over-all equals the reference's
+    dedup-over-accepted); then keep each group's first ``want``
+    survivors in candidate order. Returns the take mask.
+
+    ``key`` must be compact (< ``keyspace``); small keyspaces use dense
+    tables — membership is one indexed load, and first-occurrence is a
+    REVERSED duplicate-index write (the last write wins, so writing in
+    reverse candidate order leaves each key's FIRST index) — which is
+    ~5x cheaper than the searchsorted + argsort-based fallback."""
     C = len(key)
-    pos = np.minimum(np.searchsorted(exist_sorted, key),
-                     max(len(exist_sorted) - 1, 0))
-    exists = (
-        (exist_sorted[pos] == key) if len(exist_sorted)
-        else np.zeros(C, bool)
-    )
-    first_idx = np.unique(key, return_index=True)[1]
-    is_first = np.zeros(C, bool)
-    is_first[first_idx] = True
+    if keyspace <= _DENSE_KEYSPACE_CAP:
+        table = np.zeros(keyspace, bool)
+        table[exist_keys] = True
+        exists = table[key]
+        first = np.empty(keyspace, np.int64)  # only written slots read
+        idx = np.arange(C)
+        first[key[::-1]] = idx[::-1]
+        is_first = first[key] == idx
+    else:
+        exist_sorted = np.sort(exist_keys)
+        pos = np.minimum(np.searchsorted(exist_sorted, key),
+                         max(len(exist_sorted) - 1, 0))
+        exists = (
+            (exist_sorted[pos] == key) if len(exist_sorted)
+            else np.zeros(C, bool)
+        )
+        first_idx = np.unique(key, return_index=True)[1]
+        is_first = np.zeros(C, bool)
+        is_first[first_idx] = True
     ok = ~selfloop & ~exists & is_first
 
     csum = np.cumsum(ok)
@@ -110,6 +129,39 @@ def select_first_valid_np(key: np.ndarray, exist_sorted: np.ndarray,
                           csum[np.maximum(run_start - 1, 0)], 0)
     rank = csum - np.repeat(cum_before, cand_per) - 1
     return ok & (rank < want[gid])
+
+
+def select_negatives_np(key: np.ndarray, exist_keys: np.ndarray,
+                        keyspace: int, selfloop: np.ndarray,
+                        cand_per: np.ndarray, want: np.ndarray,
+                        gid: np.ndarray) -> np.ndarray:
+    """``select_first_valid_np`` with prefix escalation: acceptance is
+    ~90%+, so evaluating each group's first ``3*want + 8`` candidates
+    almost always yields the full quota — and because keys embed the
+    group id, a group's take mask depends only on its own candidates, so
+    the prefix result equals the full result whenever the quota is met.
+    Falls back to the full 5E pool for the (rare) batch where any group
+    comes up short."""
+    prefix = np.minimum(cand_per, 3 * want + 8)
+    if int(prefix.sum()) < len(key):
+        run_start = np.concatenate([[0], np.cumsum(cand_per)[:-1]])
+        tot = int(prefix.sum())
+        within = np.arange(tot) - np.repeat(
+            np.cumsum(prefix) - prefix, prefix
+        )
+        pos = np.repeat(run_start, prefix) + within
+        gid_p = np.repeat(np.arange(len(want)), prefix)
+        take_p = select_first_valid_np(
+            key[pos], exist_keys, keyspace, selfloop[pos], prefix,
+            want, gid_p,
+        )
+        got = np.bincount(gid_p[take_p], minlength=len(want))
+        if (got >= want).all():
+            take = np.zeros(len(key), bool)
+            take[pos[take_p]] = True
+            return take
+    return select_first_valid_np(key, exist_keys, keyspace, selfloop,
+                                 cand_per, want, gid)
 
 
 def _graph_slot_ranges(p: PackedGraphs):
@@ -170,12 +222,18 @@ class BatchNegativeEdge:
         )
         a = starts[gid_c] + a_loc
         b = starts[gid_c] + b_loc
-        keys_exist = np.sort(
-            rcv[emask].astype(np.int64) * Np + snd[emask]
+        # compact graph-local keys (slot-space keys would force the
+        # sorted fallback: Np^2 is far past the dense-table budget)
+        M = int(counts_n.max(initial=1))
+        er, es = rcv[emask], snd[emask]
+        eg = node_graph[er]
+        keys_exist = (
+            eg.astype(np.int64) * (M * M)
+            + (er - starts[eg]).astype(np.int64) * M + (es - starts[eg])
         )
-        take = select_first_valid_np(
-            a * Np + b, keys_exist, a == b, cand_per, e_counts // 2,
-            gid_c,
+        take = select_negatives_np(
+            gid_c * (M * M) + a_loc * M + b_loc, keys_exist,
+            G * M * M, a_loc == b_loc, cand_per, e_counts // 2, gid_c,
         )
 
         pairs = np.stack([a[take], b[take]], axis=1).astype(np.int32)

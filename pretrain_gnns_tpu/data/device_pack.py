@@ -518,7 +518,7 @@ class DeviceBatchLoader(EpochStackMixin):
         are not self-loops / existing directed edges / earlier picks
         (shared core: batch_transforms.select_first_valid_np)."""
         from pretrain_gnns_tpu.data.batch_transforms import (
-            negative_candidates_np, select_first_valid_np,
+            negative_candidates_np, select_negatives_np,
         )
 
         flat = self.flat
@@ -534,13 +534,13 @@ class DeviceBatchLoader(EpochStackMixin):
         erow = np.repeat(flat.edge_off[ids], lens_e) + within
         eg = np.repeat(np.arange(k), lens_e)
         M = int(lens_n.max(initial=1))
-        keys_exist = np.sort(
+        keys_exist = (
             eg * (M * M) + flat.recv[erow].astype(np.int64) * M
             + flat.send[erow]
         )
-        take = select_first_valid_np(
-            gi * (M * M) + a * M + b, keys_exist, a == b, cand_per,
-            lens_e // 2, gi,
+        take = select_negatives_np(
+            gi * (M * M) + a * M + b, keys_exist, k * M * M, a == b,
+            cand_per, lens_e // 2, gi,
         )
 
         gt = gi[take]

@@ -22,7 +22,11 @@ from pretrain_gnns_tpu.models import inits
 from pretrain_gnns_tpu.train import pretrain
 
 N_GRAPHS = 8192
-EPOCHS = 4  # 1 compile + 3 timed (median)
+# 1 compile + 3 discarded (the depth-2 prefetch pre-builds epochs during
+# the compile, so early intervals measure queue drain, not throughput) +
+# 4 timed as one steady-state window
+EPOCHS = 8
+SKIP = 3
 
 
 def run(objective: str) -> dict:
@@ -50,7 +54,11 @@ def run(objective: str) -> dict:
 
     res = pretrain.run_pretrain(cfg, graphs, log=logcb, epochs=EPOCHS)
     edges = res["loader"].last_epoch_stats["edges"]
-    per = float(np.median(np.diff(times)))
+    # steady-state window: total wall over the last EPOCHS-1-SKIP epochs
+    # (a median of per-epoch diffs is fooled by the prefetch queue
+    # draining pre-built epochs right after compilation)
+    n = len(times) - 1 - SKIP
+    per = (times[-1] - times[SKIP]) / n
     return {
         "objective": objective,
         "edges_per_sec": round(edges / per, 1),
