@@ -113,7 +113,9 @@ def use_device_dataset(cfg: PretrainConfig) -> bool:
         # bio indicator features ride the int32 chunk layout (cast back
         # at materialize time); the SSL trunks never read the center
         # extra, so the extras-free device loader is sufficient
-        else cfg.objective in ("masking", "edgepred", "infomax")
+        # (contextpred carries center_substruct_idx in the descriptors)
+        else cfg.objective in ("masking", "edgepred", "infomax",
+                               "contextpred")
     )
     if not ok:
         return False

@@ -316,3 +316,49 @@ def test_device_loader_bio_masking():
     res = pretrain.run_pretrain(cfg, graphs, log=None, epochs=2)
     assert type(res["loader"]).__name__ == "DeviceBatchLoader"
     assert all(np.isfinite(h["loss"]) for h in res["history"])
+
+
+def test_bio_context_device_parity():
+    """Bio context pairs (whole-ego-graph substructs, center root) through
+    the device context loader: bit-identical objective loss vs the
+    host-packed pair batches, and e2e training on the epoch path."""
+    import jax
+
+    from pretrain_gnns_tpu.data.context_loader import DeviceContextLoader
+    from pretrain_gnns_tpu.models import bio as bio_models
+    from pretrain_gnns_tpu.objectives.contextpred import (
+        ContextPredObjective,
+    )
+    from pretrain_gnns_tpu.train import pretrain
+
+    graphs = bio_dataset(24, num_downstream=2, seed=0, mean_nodes=25)
+    for g in graphs:
+        g.extras = {"center_node_idx": g.extras["center_node_idx"]}
+    t = transforms.BioExtractSubstructureContextPair(1, True)
+    dl = DeviceContextLoader(graphs, 8, t, 512, 4096, seed=0, variants=2)
+    pl = PresampledContextLoader(graphs, 8, t, 512, 4096, seed=0,
+                                 variants=2)
+    ids = np.arange(8)
+    sub_d, ctx_d = dl.prepare(dl._descriptor(0, ids))
+    sub_h, ctx_h = pl._batch(0, ids)
+    model = ContextPredObjective(num_layer=2, emb_dim=16, csize=3,
+                                 trunk=bio_models.GNN)
+    import jax as _jax
+
+    variables = model.init(
+        {"params": _jax.random.PRNGKey(0),
+         "mask": _jax.random.PRNGKey(1)},
+        sub_h, ctx_h, train=False,
+    )
+    l_h, _ = model.apply(variables, sub_h, ctx_h, train=False)
+    l_d, _ = model.apply(variables, sub_d, ctx_d, train=False)
+    np.testing.assert_allclose(float(l_h), float(l_d), rtol=2e-5)
+
+    cfg = pretrain.PretrainConfig(
+        objective="contextpred", domain="bio", num_layer=2, emb_dim=16,
+        batch_size=8, seed=0, device_dataset="on", scan_steps=2,
+        packing="standard", context_variants=2,
+    )
+    res = pretrain.run_pretrain(cfg, graphs, log=None, epochs=2)
+    assert type(res["loader"]).__name__ == "DeviceContextLoader"
+    assert all(np.isfinite(h["loss"]) for h in res["history"])
