@@ -37,7 +37,7 @@ EMB = 300
 LAYERS = 5
 SCAN_K = 16  # train steps fused per dispatch (several groups/epoch
              # keep the prefetch pipeline full across epoch bounds)
-EPOCHS = 6  # 1 compile/warm + 5 timed
+EPOCHS = 10  # 1 compile/warm + 1 pipeline-drain + 8 timed (total wall)
 TORCH_STEPS = 5
 NUM_TASKS = 12  # torch-baseline head only
 
@@ -79,11 +79,13 @@ def bench_jax(graphs, dtype_mode):
     inits.set_compute_dtype("float32")
     assert np.isfinite(res["history"][-1]["loss"])
     edges_per_epoch = res["loader"].last_epoch_stats["edges"]
-    # epoch 1 pays compilation; the MEDIAN of the remaining per-epoch
-    # times is robust to tunnel/host scheduling hiccups (per-epoch
-    # variance up to ~40% observed on the remote-attached runtime)
-    per_epoch = np.diff(times)
-    return edges_per_epoch / float(np.median(per_epoch))
+    # TOTAL WALL over epochs 3..N. A median of per-epoch intervals
+    # overstates throughput here: the deferred-readback pipeline makes
+    # timestamps lag completions by variable host time, so intervals
+    # alternate artificially short/long and the median lands on the
+    # short ones (measured +15% flattery). Epoch 1 pays compilation and
+    # epoch 2 drains the prefetch prefill; the rest is steady state.
+    return edges_per_epoch * (len(times) - 2) / (times[-1] - times[1])
 
 
 def bench_torch(graphs):
