@@ -86,6 +86,9 @@ class PretrainConfig:
     # descriptors. "auto" = on for accelerators (chem masking/infomax,
     # single-device); "on"/"off" force it
     device_dataset: str = "auto"
+    # epochs fused per scan dispatch in the epoch-resident trainer
+    # (0 = auto: ~256 steps/dispatch on accelerators, 1 on CPU)
+    epoch_group: int = 0
 
 
 def masking_mode(cfg: PretrainConfig) -> str:
@@ -571,18 +574,38 @@ def resolve_scan_steps(scan_steps: int) -> int:
         return 1
 
 
+def resolve_epoch_group(epoch_group: int, steps_cap: int) -> int:
+    """Epochs fused per scan dispatch: the per-dispatch tunnel roundtrip
+    (~25 ms on the axon runtime) is amortized over
+    ``group * steps_cap`` steps. Auto targets ~256 steps/dispatch on
+    accelerators; CPU keeps one epoch per dispatch (test parity)."""
+    if epoch_group > 0:
+        return epoch_group
+    try:
+        if jax.default_backend() == "cpu":
+            return 1
+    except Exception:
+        return 1
+    return max(1, min(8, 256 // max(steps_cap, 1)))
+
+
 def _run_epoch_mode(loader, state, epoch_step, desc_sharding,
                     valid_sharding, group_w, history, log, start_epoch,
-                    last_epoch, mgr, checkpoint_every):
-    """Epoch-resident training loop. Per epoch the host does exactly:
-    (a) build the next epoch's descriptor stack on the prefetch thread
-    (overlapped with the in-flight epoch's device compute), (b) ONE
-    device_put of the ~MB stack, (c) one scan dispatch, (d) the PREVIOUS
-    epoch's loss readback — deferred until after the next dispatch so the
-    device never drains."""
+                    last_epoch, mgr, checkpoint_every,
+                    epoch_group: int = 0):
+    """Epoch-resident training loop. Per dispatch GROUP (``epoch_group``
+    epochs, auto ~256 steps) the host does exactly: (a) build the
+    descriptor stacks on the prefetch thread (overlapped with in-flight
+    device compute), (b) ONE device_put, (c) one scan dispatch over the
+    concatenated epochs, (d) the PREVIOUS group's loss readback —
+    deferred until after the next dispatch so the device never drains.
+    Grouping is bit-exact vs per-epoch dispatch (the concatenated scan
+    runs the identical step sequence); groups containing overflow
+    batches fall back to per-epoch dispatch to preserve step order."""
     from pretrain_gnns_tpu.data.prefetch import prefetch
 
     steps_cap = max(len(loader) // group_w, 1)
+    group_e = resolve_epoch_group(epoch_group, steps_cap)
 
     def put(tree, sharding):
         if sharding is None:
@@ -592,14 +615,56 @@ def _run_epoch_mode(loader, state, epoch_step, desc_sharding,
         )
 
     def payloads():
+        """Yield (epochs, dispatches): ``epochs`` = [(ep, pack)] rows of
+        the group; ``dispatches`` = [(stacked, valid, packs)] — one
+        concatenated entry normally, per-epoch entries when overflow
+        forces order preservation."""
+        group = []
         for ep in range(start_epoch, last_epoch + 1):
             pack = loader.epoch_stack(steps_cap=steps_cap, n_dev=group_w)
             if pack is None:
-                yield ep, None
+                if group:
+                    yield _emit(group)
+                    group = []
+                yield [(ep, None)], []
                 continue
-            stacked = put(pack["stacked"], desc_sharding)
-            valid = put(pack["valid"], valid_sharding)
-            yield ep, (stacked, valid, pack)
+            group.append((ep, pack))
+            if len(group) == group_e:
+                yield _emit(group)
+                group = []
+        if group:
+            yield _emit(group)
+
+    def _emit(group):
+        packs = [p for _, p in group]
+        if group_e > 1 and any(p["overflow"] for p in packs):
+            # overflow batches must run between their epoch's scan and
+            # the next epoch's — per-epoch dispatch preserves the order
+            return group, [
+                (put(p["stacked"], desc_sharding),
+                 put(p["valid"], valid_sharding), [p])
+                for p in packs
+            ]
+        stacked = {
+            k: np.concatenate([p["stacked"][k] for p in packs])
+            for k in packs[0]["stacked"]
+        }
+        valid = np.concatenate([p["valid"] for p in packs])
+        if len(packs) < group_e:
+            # pad short tail groups with valid=False steps so every
+            # group dispatch compiles to the SAME scan length
+            pad = (group_e - len(packs)) * steps_cap
+            stacked = {
+                k: np.concatenate(
+                    [v, np.zeros((pad,) + v.shape[1:], v.dtype)]
+                )
+                for k, v in stacked.items()
+            }
+            valid = np.concatenate([valid, np.zeros(pad, bool)])
+        return group, [
+            (put(stacked, desc_sharding), put(valid, valid_sharding),
+             packs)
+        ]
 
     def finalize(p):
         ep, loss_sum, metric_sums, nb, stats = p
@@ -611,7 +676,8 @@ def _run_epoch_mode(loader, state, epoch_step, desc_sharding,
             over = stats["batches"] - steps_cap * group_w
             log(f"loader: {stats['batches']} batches, "
                 f"{stats['graphs_per_batch']:.1f} graphs/batch "
-                f"(epoch-resident scan, {steps_cap} steps/dispatch"
+                f"(epoch-resident scan, {steps_cap} steps/epoch, "
+                f"{group_e} epochs/dispatch"
                 + (f", +{over} overflow batches single-step"
                    if over > 0 else "") + ")")
         history.append(row)
@@ -619,42 +685,54 @@ def _run_epoch_mode(loader, state, epoch_step, desc_sharding,
             log(" ".join(f"{k}={v:.4f}" if isinstance(v, float) else
                          f"{k}={v}" for k, v in row.items()))
 
-    pending = None
-    for ep, payload in prefetch(payloads(), depth=2):
-        if payload is None:
-            if pending is not None:
-                finalize(pending)
-                pending = None
-            finalize((ep, 0.0, {}, 0, None))
+    pending = []
+    for epochs, dispatches in prefetch(payloads(), depth=2):
+        if dispatches == [] and epochs and epochs[0][1] is None:
+            for p in pending:
+                finalize(p)
+            pending = []
+            finalize((epochs[0][0], 0.0, {}, 0, None))
             continue
-        stacked, valid, pack = payload
-        state, losses, metrics = epoch_step(state, stacked, valid)
-        loss_sum = jnp.sum(losses)
-        metric_sums = {k: jnp.sum(v) for k, v in metrics.items()}
-        nb = pack["n_steps"]
-        for ov in pack["overflow"]:
-            # surplus batches beyond the static cap: same per-step shapes,
-            # dispatched as a length-1 scan
-            ovs = put(
-                jax.tree_util.tree_map(
-                    lambda x: np.asarray(x)[None], ov
-                ),
-                desc_sharding,
-            )
-            ovalid = put(np.ones(1, bool), valid_sharding)
-            state, l1, m1 = epoch_step(state, ovs, ovalid)
-            loss_sum = loss_sum + jnp.sum(l1)
-            metric_sums = {
-                k: metric_sums[k] + jnp.sum(m1[k]) for k in metric_sums
-            }
-            nb += 1
-        if pending is not None:
-            finalize(pending)
-        pending = (ep, loss_sum, metric_sums, nb, pack["stats"])
-        if mgr and checkpoint_every and ep % checkpoint_every == 0:
+        rows = []
+        ep_iter = iter(epochs)
+        for stacked, valid, packs in dispatches:
+            state, losses, metrics = epoch_step(state, stacked, valid)
+            for i, pack in enumerate(packs):
+                ep, _ = next(ep_iter)
+                sl = slice(i * steps_cap, (i + 1) * steps_cap)
+                loss_sum = jnp.sum(losses[sl])
+                metric_sums = {
+                    k: jnp.sum(v[sl]) for k, v in metrics.items()
+                }
+                nb = pack["n_steps"]
+                for ov in pack["overflow"]:
+                    # surplus batches beyond the static cap: same
+                    # per-step shapes, dispatched as a length-1 scan
+                    ovs = put(
+                        jax.tree_util.tree_map(
+                            lambda x: np.asarray(x)[None], ov
+                        ),
+                        desc_sharding,
+                    )
+                    ovalid = put(np.ones(1, bool), valid_sharding)
+                    state, l1, m1 = epoch_step(state, ovs, ovalid)
+                    loss_sum = loss_sum + jnp.sum(l1)
+                    metric_sums = {
+                        k: metric_sums[k] + jnp.sum(m1[k])
+                        for k in metric_sums
+                    }
+                    nb += 1
+                rows.append((ep, loss_sum, metric_sums, nb,
+                             pack["stats"]))
+        for p in pending:
+            finalize(p)
+        pending = rows
+        if mgr and checkpoint_every and rows and any(
+            r[0] % checkpoint_every == 0 for r in rows
+        ):
             mgr.save(int(state.step), state)
-    if pending is not None:
-        finalize(pending)
+    for p in pending:
+        finalize(p)
     return state
 
 
@@ -753,7 +831,7 @@ def run_pretrain(
         state = _run_epoch_mode(
             loader, state, epoch_step, desc_sharding, valid_sharding,
             group_w, history, log, start_epoch, epochs or cfg.epochs,
-            mgr, checkpoint_every,
+            mgr, checkpoint_every, epoch_group=cfg.epoch_group,
         )
         if mgr:
             mgr.save(int(state.step), state)
