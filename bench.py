@@ -37,7 +37,10 @@ EMB = 300
 LAYERS = 5
 SCAN_K = 16  # train steps fused per dispatch (several groups/epoch
              # keep the prefetch pipeline full across epoch bounds)
-EPOCHS = 10  # 1 compile/warm + 1 pipeline-drain + 8 timed (total wall)
+EPOCH_GROUP = 4  # epochs per scan dispatch (pinned; timing windows
+                 # must align to group boundaries because rows of a
+                 # group finalize in one burst)
+EPOCHS = 16  # 1 warm group (compile + prefill) + 3 timed groups
 TORCH_STEPS = 5
 NUM_TASKS = 12  # torch-baseline head only
 
@@ -67,6 +70,7 @@ def bench_jax(graphs, dtype_mode):
         objective="masking", num_layer=LAYERS, emb_dim=EMB,
         batch_size=BATCH_GRAPHS, mask_edge=False, seed=0,
         scan_steps=SCAN_K, transform_device="auto", packing="auto",
+        epoch_group=EPOCH_GROUP,
     )
 
     times = []
@@ -79,13 +83,14 @@ def bench_jax(graphs, dtype_mode):
     inits.set_compute_dtype("float32")
     assert np.isfinite(res["history"][-1]["loss"])
     edges_per_epoch = res["loader"].last_epoch_stats["edges"]
-    # TOTAL WALL over epochs 3..N. A median of per-epoch intervals
-    # overstates throughput here: the deferred-readback pipeline makes
-    # timestamps lag completions by variable host time, so intervals
-    # alternate artificially short/long and the median lands on the
-    # short ones (measured +15% flattery). Epoch 1 pays compilation and
-    # epoch 2 drains the prefetch prefill; the rest is steady state.
-    return edges_per_epoch * (len(times) - 2) / (times[-1] - times[1])
+    # TOTAL WALL over the last 3 dispatch groups. A median of
+    # per-epoch intervals overstates throughput (deferred-readback
+    # timestamps lag completions; intervals alternate short/long and
+    # the median lands on the short ones), and the window must END and
+    # START at group boundaries because a group's rows finalize in one
+    # burst. Group 1 pays compilation + prefetch prefill.
+    n_timed = EPOCHS - EPOCH_GROUP
+    return edges_per_epoch * n_timed / (times[-1] - times[EPOCH_GROUP - 1])
 
 
 def bench_torch(graphs):

@@ -22,11 +22,12 @@ from pretrain_gnns_tpu.models import inits
 from pretrain_gnns_tpu.train import pretrain
 
 N_GRAPHS = 8192
-# 1 compile + 3 discarded (the depth-2 prefetch pre-builds epochs during
-# the compile, so early intervals measure queue drain, not throughput) +
-# 4 timed as one steady-state window
-EPOCHS = 8
-SKIP = 3
+# Epochs fuse into scan-dispatch groups whose rows finalize in one
+# burst, so the timing window must align to group boundaries: 1 warm
+# group (compile + prefetch prefill) + 3 timed groups, total wall.
+EPOCH_GROUP = 4
+EPOCHS = 16
+SKIP = EPOCH_GROUP
 
 
 def run(objective: str) -> dict:
@@ -37,7 +38,7 @@ def run(objective: str) -> dict:
         cfg = pretrain.PretrainConfig(
             objective=objective[4:], domain="bio", num_layer=5,
             emb_dim=300, batch_size=64, seed=0, scan_steps=16,
-            packing="auto",
+            packing="auto", epoch_group=EPOCH_GROUP,
         )
     else:
         graphs, _ = molecule_dataset(N_GRAPHS, num_tasks=1, seed=0,
@@ -45,6 +46,7 @@ def run(objective: str) -> dict:
         cfg = pretrain.PretrainConfig(
             objective=objective, num_layer=5, emb_dim=300, batch_size=256,
             mask_edge=False, seed=0, scan_steps=16, packing="auto",
+            epoch_group=EPOCH_GROUP,
         )
     times = []
 
@@ -54,11 +56,11 @@ def run(objective: str) -> dict:
 
     res = pretrain.run_pretrain(cfg, graphs, log=logcb, epochs=EPOCHS)
     edges = res["loader"].last_epoch_stats["edges"]
-    # steady-state window: total wall over the last EPOCHS-1-SKIP epochs
-    # (a median of per-epoch diffs is fooled by the prefetch queue
-    # draining pre-built epochs right after compilation)
-    n = len(times) - 1 - SKIP
-    per = (times[-1] - times[SKIP]) / n
+    # total wall over the last (EPOCHS-SKIP) epochs, window ends/starts
+    # at group boundaries (a median of per-epoch diffs is fooled both by
+    # queue drain after compilation and by per-group row bursts)
+    n = len(times) - SKIP
+    per = (times[-1] - times[SKIP - 1]) / n
     return {
         "objective": objective,
         "edges_per_sec": round(edges / per, 1),
