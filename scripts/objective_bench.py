@@ -71,7 +71,8 @@ def run(objective: str) -> dict:
 def main():
     inits.set_compute_dtype(os.environ.get("DTYPE", "bfloat16_act"))
     objs = (os.environ.get("OBJS")
-            or "masking infomax edgepred contextpred bio_masking").split()
+            or "masking infomax edgepred contextpred bio_masking "
+               "bio_edgepred bio_infomax bio_contextpred").split()
     for obj in objs:
         print(json.dumps(run(obj)), flush=True)
 
