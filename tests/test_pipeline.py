@@ -113,3 +113,53 @@ def test_supervised_cli_dropout_default():
         ["--objective", "supervised", "--dropout_ratio", "0.5"]
     )
     assert cli.resolve_dropout(args) == 0.5
+
+
+def test_bio_supervised_pretrain_set_golden():
+    """Non-circular check of the pretrain-set construction (the oracle
+    above re-derives with the same splitters, so it can't catch a
+    splitter regression): 12 graphs, 6 human — the non-human indices
+    {1,3,5,7,8,10} must ALL be included, followed by a frozen golden
+    draw of exactly half the human graphs, none from the held-out hard
+    half."""
+    from pretrain_gnns_tpu.cli.pretrain import (
+        bio_supervised_pretrain_indices,
+    )
+
+    species = np.array([9606, 3702, 9606, 6239, 9606, 10090, 9606, 4932,
+                        7955, 9606, 511145, 9606])
+    got = bio_supervised_pretrain_indices(species, "species", seed=7)
+    assert got == [1, 3, 5, 7, 8, 10, 9, 0, 11]  # frozen golden
+    human = [i for i, s in enumerate(species) if s == 9606]
+    non_human = [i for i, s in enumerate(species) if s != 9606]
+    assert got[: len(non_human)] == non_human
+    easy = got[len(non_human):]
+    assert len(easy) == len(human) // 2
+    assert set(easy) <= set(human)
+
+
+def test_epoch_mode_checkpoint_resume(tmp_path):
+    """Interrupted epoch-resident pretraining resumes from the orbax
+    checkpoint: a fresh run over the same dir continues at the next
+    epoch and ends with the same step count as an uninterrupted run."""
+    from pretrain_gnns_tpu.data.synthetic import molecule_dataset
+    from pretrain_gnns_tpu.train import pretrain
+
+    graphs, _ = molecule_dataset(64, num_tasks=1, seed=0, mean_atoms=12)
+    cfg = pretrain.PretrainConfig(
+        objective="masking", num_layer=2, emb_dim=16, batch_size=16,
+        mask_edge=False, seed=0, scan_steps=4, device_dataset="on",
+        packing="standard",
+    )
+    ckpt = str(tmp_path / "ck")
+    r1 = pretrain.run_pretrain(cfg, graphs, log=None, epochs=2,
+                               checkpoint_dir=ckpt, checkpoint_every=1)
+    steps_per_epoch = 64 // 16
+    assert int(r1["state"].step) == 2 * steps_per_epoch
+
+    logs = []
+    r2 = pretrain.run_pretrain(cfg, graphs, log=logs.append, epochs=4,
+                               checkpoint_dir=ckpt, checkpoint_every=1)
+    assert any("resumed" in s for s in logs)
+    assert [h["epoch"] for h in r2["history"]] == [3, 4]
+    assert int(r2["state"].step) == 4 * steps_per_epoch
