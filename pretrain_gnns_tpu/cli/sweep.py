@@ -37,6 +37,11 @@ def main(argv=None):
                    default=list(range(10)))
     p.add_argument("--configs", nargs="+", default=["nopretrain"])
     p.add_argument("--gnn_type", default="gin")
+    p.add_argument("--other_gnns", nargs="*", default=[],
+                   help="additionally run these architectures over "
+                        "{nopretrain, <arch>_supervised_contextpred} — "
+                        "the finetune_tune.sh other-GNN block "
+                        "(chem/finetune_tune.sh:24-33)")
     p.add_argument("--model_dir", default="models",
                    help="directory holding <config>.pth trunks")
     p.add_argument("--result_dir", default="runs/sweep")
@@ -62,8 +67,19 @@ def main(argv=None):
 
     split = args.split or ("species" if args.domain == "bio" else "scaffold")
     results = []
+    # (gnn_type, config) work list: the main block plus, per
+    # finetune_tune.sh:24-33, each extra architecture x {nopretrain,
+    # <arch>_supervised_contextpred} (bio: <arch>_supervised_masking)
+    jobs = [(args.gnn_type, c, c) for c in args.configs]
+    extra_cfg = ("supervised_masking" if args.domain == "bio"
+                 else "supervised_contextpred")
+    for arch in args.other_gnns:
+        jobs += [
+            (arch, "nopretrain", f"{arch}_nopretrain"),
+            (arch, f"{arch}_{extra_cfg}", f"{arch}_{extra_cfg}"),
+        ]
     for dataset in args.datasets:
-        for config in args.configs:
+        for gnn_type, config, label in jobs:
             model_file = ""
             if config != "nopretrain":
                 cand = os.path.join(args.model_dir, f"{config}.pth")
@@ -74,26 +90,26 @@ def main(argv=None):
                           f"{config} from scratch")
             for seed in args.seeds:
                 run_dir = os.path.join(
-                    args.result_dir, dataset, config
+                    args.result_dir, dataset, label
                 )
                 argv_ft = [
                     "--domain", args.domain,
                     "--dataset", dataset,
                     "--runseed", str(seed),
                     "--split", split,
-                    "--gnn_type", args.gnn_type,
+                    "--gnn_type", gnn_type,
                     "--epochs", str(args.epochs),
                     "--batch_size", str(args.batch_size),
                     "--dropout_ratio", str(args.dropout_ratio),
                     "--run_dir", run_dir,
-                    "--filename", config,
+                    "--filename", label,
                     "--n_synthetic", str(args.n_synthetic),
                 ]
                 if model_file:
                     argv_ft += ["--input_model_file", model_file]
                 out = ft_cli.main(argv_ft)
                 results.append(
-                    {"dataset": dataset, "config": config, "seed": seed,
+                    {"dataset": dataset, "config": label, "seed": seed,
                      "test_auc": out["test_auc"],
                      "val_auc": out["val_auc"]}
                 )
