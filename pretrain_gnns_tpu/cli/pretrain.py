@@ -145,6 +145,35 @@ def _supervised(args, graphs, meta):
             for g in graphs
         ]
     num_tasks = graphs[0].y.shape[0]
+
+    if args.domain == "chem" and getattr(args, "halo_devices", 1) <= 1:
+        # chem supervised rides the production pretrain pipeline (device-
+        # resident dataset incl. the label table, epoch scan, DP); bio
+        # keeps the host loop below (its head reads the center extra),
+        # halo keeps its edge-partitioned executor
+        from pretrain_gnns_tpu.train import pretrain as pt
+
+        pcfg = pt.PretrainConfig(
+            objective="supervised", domain=args.domain,
+            num_layer=args.num_layer, emb_dim=args.emb_dim, jk=args.jk,
+            dropout_ratio=args.dropout_ratio, gnn_type=args.gnn_type,
+            lr=args.lr, decay=args.decay, batch_size=args.batch_size,
+            epochs=args.epochs, seed=args.seed, num_tasks=num_tasks,
+            packing=args.packing, dp_devices=args.dp_devices,
+            scan_steps=args.scan_steps,
+            device_dataset=getattr(args, "device_dataset", "auto"),
+        )
+        trunk = load_trunk_any(args.input_model_file) \
+            if args.input_model_file else None
+        res = pt.run_pretrain(
+            pcfg, graphs, log=lambda m: print(m, flush=True),
+            pretrained_trunk=trunk,
+        )
+        return (
+            pt.trunk_variables(res["state"], pt.trunk_path(pcfg)),
+            res["history"],
+        )
+
     cfg = ft.FinetuneConfig(
         domain=args.domain, num_tasks=num_tasks, num_layer=args.num_layer,
         emb_dim=args.emb_dim, dropout_ratio=args.dropout_ratio,

@@ -53,6 +53,9 @@ class PretrainConfig:
     mask_edge: bool = True
     num_atom_type: int = 119
     num_edge_type: int = 5
+    # supervised (chem/pretrain_supervised.py / bio analogue)
+    num_tasks: int = 1
+    graph_pooling: str = "mean"
     # contextpred
     csize: int = 3
     mode: str = "cbow"
@@ -111,7 +114,8 @@ def use_device_dataset(cfg: PretrainConfig) -> bool:
         # batches (grouped + shard_global_batch), not descriptors
         return False
     ok = (
-        cfg.objective in ("masking", "infomax", "edgepred", "contextpred")
+        cfg.objective in ("masking", "infomax", "edgepred", "contextpred",
+                          "supervised")
         if cfg.domain == "chem"
         # bio indicator features ride the int32 chunk layout (cast back
         # at materialize time); the SSL trunks never read the center
@@ -163,6 +167,15 @@ def build_objective(cfg: PretrainConfig):
         return EdgePredObjective(**common, **trunk_kw)
     if cfg.objective == "infomax":
         return InfomaxObjective(**common, **trunk_kw)
+    if cfg.objective == "supervised":
+        from pretrain_gnns_tpu.objectives.supervised import (
+            SupervisedObjective,
+        )
+
+        return SupervisedObjective(
+            num_tasks=cfg.num_tasks, graph_pooling=cfg.graph_pooling,
+            domain=cfg.domain, **common,
+        )
     if cfg.objective == "contextpred":
         # bio context encoder is fixed at 3 layers
         # (bio/pretrain_contextpred.py:156)
@@ -319,7 +332,7 @@ def build_loader(cfg: PretrainConfig, graphs: Sequence[Graph],
             drop_last=drop_last, extra_pad=base_pad or None,
             post_transform=BatchNegativeEdge(edge_budget=me // 2),
         )
-    if cfg.objective == "infomax":
+    if cfg.objective in ("infomax", "supervised"):
         if use_device_dataset(cfg):
             dl = _try_device_loader(cfg, graphs, blocks, mn, me, drop_last)
             if dl is not None:
@@ -743,6 +756,7 @@ def run_pretrain(
     epochs: Optional[int] = None,
     checkpoint_dir: Optional[str] = None,
     checkpoint_every: int = 0,
+    pretrained_trunk: Optional[Dict[str, Any]] = None,
 ) -> Dict[str, Any]:
     """Train one SSL objective. With ``checkpoint_dir``, orbax step
     checkpoints are written every ``checkpoint_every`` epochs (and at the
@@ -774,6 +788,11 @@ def run_pretrain(
         )(init_rng, mask_rng, *batch0)
     if "batch_stats" not in variables:
         variables = dict(variables, batch_stats={})
+    if pretrained_trunk is not None:
+        # supervised stage initialized from an SSL trunk — the reference's
+        # from_pretrained chain (chem/pretrain_supervised.py:132-133)
+        variables = graft_trunk(variables, pretrained_trunk,
+                                trunk_path(cfg))
     tx = optim.adam(cfg.lr, cfg.decay)
     state = TrainState.create(variables, tx, rng)
     n_dev = cfg.dp_devices if cfg.dp_devices > 0 else jax.device_count()
@@ -943,10 +962,52 @@ def run_pretrain(
             "loader": loader}
 
 
-def trunk_variables(state: TrainState, trunk_name: str = "gnn") -> Dict:
+def trunk_path(cfg: PretrainConfig) -> Tuple[str, ...]:
+    """Where the trunk lives in the objective's parameter tree."""
+    if cfg.objective == "supervised":
+        from pretrain_gnns_tpu.objectives.supervised import TRUNK_PATH
+
+        return TRUNK_PATH
+    if cfg.objective == "contextpred":
+        return ("gnn_substruct",)
+    return ("gnn",)
+
+
+def graft_trunk(variables: Dict[str, Any], trunk: Dict[str, Any],
+                path: Tuple[str, ...]) -> Dict[str, Any]:
+    """Overwrite the trunk subtree at ``path`` with pretrained weights
+    (heads stay freshly initialized — the reference checkpoint contract,
+    SURVEY.md §3.4)."""
+    def set_in(tree, keys, value):
+        tree = dict(tree)
+        if len(keys) == 1:
+            tree[keys[0]] = value
+        else:
+            tree[keys[0]] = set_in(tree[keys[0]], keys[1:], value)
+        return tree
+
+    out = dict(variables)
+    out["params"] = set_in(out["params"], list(path), trunk["params"])
+    if trunk.get("batch_stats"):
+        out["batch_stats"] = set_in(
+            dict(out.get("batch_stats", {})), list(path),
+            trunk["batch_stats"],
+        )
+    return out
+
+
+def trunk_variables(state: TrainState, trunk_name="gnn") -> Dict:
     """Extract the trunk for the reference checkpoint contract (trunk-only
-    save, chem/pretrain_masking.py:146-147)."""
+    save, chem/pretrain_masking.py:146-147). ``trunk_name`` may be a
+    nested path tuple (supervised: ("pred", "gnn"))."""
+    path = (trunk_name,) if isinstance(trunk_name, str) else trunk_name
+
+    def get_in(tree, keys):
+        for k in keys:
+            tree = tree[k] if tree else {}
+        return tree or {}
+
     return {
-        "params": state.params[trunk_name],
-        "batch_stats": (state.batch_stats or {}).get(trunk_name, {}),
+        "params": get_in(state.params, path),
+        "batch_stats": get_in(state.batch_stats or {}, path),
     }

@@ -41,12 +41,13 @@ def run(objective: str) -> dict:
             packing="auto", epoch_group=EPOCH_GROUP,
         )
     else:
-        graphs, _ = molecule_dataset(N_GRAPHS, num_tasks=1, seed=0,
+        graphs, _ = molecule_dataset(N_GRAPHS, num_tasks=12, seed=0,
                                      mean_atoms=23)
         cfg = pretrain.PretrainConfig(
             objective=objective, num_layer=5, emb_dim=300, batch_size=256,
             mask_edge=False, seed=0, scan_steps=16, packing="auto",
-            epoch_group=EPOCH_GROUP,
+            epoch_group=EPOCH_GROUP, num_tasks=12,
+            dropout_ratio=0.2 if objective == "supervised" else 0.0,
         )
     times = []
 
@@ -71,8 +72,9 @@ def run(objective: str) -> dict:
 def main():
     inits.set_compute_dtype(os.environ.get("DTYPE", "bfloat16_act"))
     objs = (os.environ.get("OBJS")
-            or "masking infomax edgepred contextpred bio_masking "
-               "bio_edgepred bio_infomax bio_contextpred").split()
+            or "masking infomax edgepred contextpred supervised "
+               "bio_masking bio_edgepred bio_infomax bio_contextpred"
+            ).split()
     for obj in objs:
         print(json.dumps(run(obj)), flush=True)
 
