@@ -82,15 +82,15 @@ def bench_jax(graphs, dtype_mode):
     res = pretrain.run_pretrain(cfg, graphs, log=logcb, epochs=EPOCHS)
     inits.set_compute_dtype("float32")
     assert np.isfinite(res["history"][-1]["loss"])
-    edges_per_epoch = res["loader"].last_epoch_stats["edges"]
-    # TOTAL WALL over the last 3 dispatch groups. A median of
-    # per-epoch intervals overstates throughput (deferred-readback
-    # timestamps lag completions; intervals alternate short/long and
-    # the median lands on the short ones), and the window must END and
-    # START at group boundaries because a group's rows finalize in one
-    # burst. Group 1 pays compilation + prefetch prefill.
-    n_timed = EPOCHS - EPOCH_GROUP
-    return edges_per_epoch * n_timed / (times[-1] - times[EPOCH_GROUP - 1])
+    # TOTAL WALL over the last 3 dispatch groups, with edge counts summed
+    # over EXACTLY the timed epochs. A median of per-epoch intervals
+    # overstates throughput (deferred-readback timestamps lag
+    # completions; intervals alternate short/long and the median lands
+    # on the short ones), and the window must END and START at group
+    # boundaries because a group's rows finalize in one burst. Group 1
+    # pays compilation + prefetch prefill.
+    edges = sum(h["edges"] for h in res["history"][EPOCH_GROUP:])
+    return edges / (times[-1] - times[EPOCH_GROUP - 1])
 
 
 def bench_torch(graphs):

@@ -168,6 +168,8 @@ def _supervised(args, graphs, meta):
         res = pt.run_pretrain(
             pcfg, graphs, log=lambda m: print(m, flush=True),
             pretrained_trunk=trunk,
+            checkpoint_dir=args.checkpoint_dir or None,
+            checkpoint_every=args.checkpoint_every,
         )
         return (
             pt.trunk_variables(res["state"], pt.trunk_path(pcfg)),

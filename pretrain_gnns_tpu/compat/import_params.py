@@ -136,15 +136,9 @@ def graphpred_variables_with_trunk(
     """Overwrite the ``gnn`` sub-tree of freshly-initialized GNNGraphPred
     variables with imported trunk weights (heads stay re-initialized, the
     reference's checkpoint contract, SURVEY.md §3.4)."""
-    out = {
-        coll: dict(tree) for coll, tree in model_variables.items()
-    }
-    out["params"] = dict(out["params"])
-    out["params"]["gnn"] = trunk_variables["params"]
-    if trunk_variables.get("batch_stats"):
-        out["batch_stats"] = dict(out.get("batch_stats", {}))
-        out["batch_stats"]["gnn"] = trunk_variables["batch_stats"]
-    return out
+    from pretrain_gnns_tpu.train.pretrain import graft_trunk
+
+    return graft_trunk(model_variables, trunk_variables, ("gnn",))
 
 
 # --------------------------------------------------------------------------

@@ -81,7 +81,10 @@ def negative_candidates_np(rng: np.random.Generator,
     return gid, a, b, cand_per
 
 
-_DENSE_KEYSPACE_CAP = 1 << 24  # 16M flags ≈ the fast-path memory budget
+# dense fast-path budget: bool exists-table (1 B) + int32 first-index
+# table (4 B) per key slot -> worst case ~80 MB at the cap; typical chem
+# batches are ~0.5 M keys (~2.5 MB)
+_DENSE_KEYSPACE_CAP = 1 << 24
 
 
 def select_first_valid_np(key: np.ndarray, exist_keys: np.ndarray,
@@ -102,12 +105,14 @@ def select_first_valid_np(key: np.ndarray, exist_keys: np.ndarray,
     reverse candidate order leaves each key's FIRST index) — which is
     ~5x cheaper than the searchsorted + argsort-based fallback."""
     C = len(key)
+    if C == 0:
+        return np.zeros(0, bool)
     if keyspace <= _DENSE_KEYSPACE_CAP:
         table = np.zeros(keyspace, bool)
         table[exist_keys] = True
         exists = table[key]
-        first = np.empty(keyspace, np.int64)  # only written slots read
-        idx = np.arange(C)
+        first = np.empty(keyspace, np.int32)  # only written slots read
+        idx = np.arange(C, dtype=np.int32)
         first[key[::-1]] = idx[::-1]
         is_first = first[key] == idx
     else:

@@ -619,6 +619,10 @@ def _run_epoch_mode(loader, state, epoch_step, desc_sharding,
 
     steps_cap = max(len(loader) // group_w, 1)
     group_e = resolve_epoch_group(epoch_group, steps_cap)
+    if checkpoint_every:
+        # checkpoints happen at group boundaries; don't let grouping
+        # silently coarsen an explicitly requested cadence
+        group_e = min(group_e, checkpoint_every)
 
     def put(tree, sharding):
         if sharding is None:
@@ -682,6 +686,8 @@ def _run_epoch_mode(loader, state, epoch_step, desc_sharding,
     def finalize(p):
         ep, loss_sum, metric_sums, nb, stats = p
         row = {"epoch": ep, "loss": float(loss_sum) / max(nb, 1)}
+        if stats:
+            row["edges"] = stats["edges"]  # benches sum exact windows
         row.update(
             {k: float(v) / max(nb, 1) for k, v in metric_sums.items()}
         )
@@ -975,9 +981,10 @@ def trunk_path(cfg: PretrainConfig) -> Tuple[str, ...]:
 
 def graft_trunk(variables: Dict[str, Any], trunk: Dict[str, Any],
                 path: Tuple[str, ...]) -> Dict[str, Any]:
-    """Overwrite the trunk subtree at ``path`` with pretrained weights
-    (heads stay freshly initialized — the reference checkpoint contract,
-    SURVEY.md §3.4)."""
+    """Overwrite the trunk subtree at ``path`` with pretrained weights —
+    the single implementation of the reference checkpoint contract
+    (heads stay freshly initialized, SURVEY.md §3.4); compat's
+    GraphPred import path delegates here with path ("gnn",)."""
     def set_in(tree, keys, value):
         tree = dict(tree)
         if len(keys) == 1:

@@ -56,15 +56,16 @@ def run(objective: str) -> dict:
             times.append(time.perf_counter())
 
     res = pretrain.run_pretrain(cfg, graphs, log=logcb, epochs=EPOCHS)
-    edges = res["loader"].last_epoch_stats["edges"]
     # total wall over the last (EPOCHS-SKIP) epochs, window ends/starts
     # at group boundaries (a median of per-epoch diffs is fooled both by
-    # queue drain after compilation and by per-group row bursts)
-    n = len(times) - SKIP
-    per = (times[-1] - times[SKIP - 1]) / n
+    # queue drain after compilation and by per-group row bursts); edge
+    # counts are summed over EXACTLY the timed epochs (contextpred's
+    # presampled variants differ by a few % per epoch)
+    edges = sum(h["edges"] for h in res["history"][SKIP:])
+    wall = times[-1] - times[SKIP - 1]
     return {
         "objective": objective,
-        "edges_per_sec": round(edges / per, 1),
+        "edges_per_sec": round(edges / wall, 1),
         "loader": type(res["loader"]).__name__,
     }
 
