@@ -146,13 +146,22 @@ def _supervised(args, graphs, meta):
         ]
     num_tasks = graphs[0].y.shape[0]
 
-    if args.domain == "chem" and getattr(args, "halo_devices", 1) <= 1:
-        # chem supervised rides the production pretrain pipeline (device-
-        # resident dataset incl. the label table, epoch scan, DP); bio
-        # keeps the host loop below (its head reads the center extra),
-        # halo keeps its edge-partitioned executor
+    if getattr(args, "halo_devices", 1) <= 1:
+        # supervised rides the production pretrain pipeline (device-
+        # resident dataset incl. the label table and, for bio, the
+        # center-node slots; epoch scan, DP); halo keeps its
+        # edge-partitioned executor
         from pretrain_gnns_tpu.train import pretrain as pt
 
+        # bio: strip ragged extras the flat layout can't carry (labels
+        # already moved into y; the head needs only center_node_idx)
+        if args.domain == "bio":
+            graphs = [
+                dc.replace(g, extras={
+                    "center_node_idx": g.extras["center_node_idx"],
+                })
+                for g in graphs
+            ]
         pcfg = pt.PretrainConfig(
             objective="supervised", domain=args.domain,
             num_layer=args.num_layer, emb_dim=args.emb_dim, jk=args.jk,

@@ -171,6 +171,10 @@ def materialize(
         )
 
     extras = {}
+    if "center_node_idx" in desc:
+        # bio center-node slot (padding graphs -> row 0; masked by the
+        # loss via graph_mask)
+        extras["center_node_idx"] = desc["center_node_idx"]
     if "negative_edges" in desc:
         extras["negative_edges"] = desc["negative_edges"]
         extras["negative_edges_mask"] = desc["negative_edges_mask"]
@@ -383,7 +387,8 @@ class DeviceBatchLoader(EpochStackMixin):
     ``neg_spec`` = dict(budget) enables edgepred's negative-edge fields:
     per-batch vectorized rejection sampling in flat-local space (existing
     -edge membership via searchsorted over the batch's edge keys), slot
-    pairs shipped in the descriptor.
+    pairs shipped in the descriptor. ``center_spec`` ships the bio
+    center-node slot per graph (the GraphPred head's concat input).
     """
 
     def __init__(
@@ -399,10 +404,16 @@ class DeviceBatchLoader(EpochStackMixin):
         mask_spec: Optional[dict] = None,
         neg_spec: Optional[dict] = None,
         bio_mask_spec: Optional[dict] = None,
+        center_spec: bool = False,
     ):
         self.flat = flat
         self.dev, self._aux = build_device_flat(flat)
         self.bio_mask_spec = bio_mask_spec
+        self._center_local = None
+        if center_spec:
+            self._center_local = np.asarray(
+                flat.extras["center_node_idx"][0]
+            ).reshape(len(flat)).astype(np.int64)
         self.batch_size = batch_size
         self.blocks = blocks
         if blocks is not None:
@@ -472,6 +483,10 @@ class DeviceBatchLoader(EpochStackMixin):
             self._add_negatives(desc, ids, nstart[:k], rng)
         if self.bio_mask_spec is not None:
             self._add_bio_masking(desc, ids, estart[:k], rng)
+        if self._center_local is not None:
+            center = np.zeros(G, np.int32)
+            center[:k] = nstart[:k] + self._center_local[ids]
+            desc["center_node_idx"] = center
         return desc
 
     def _add_bio_masking(self, desc, ids, estarts, rng):

@@ -122,7 +122,7 @@ def use_device_dataset(cfg: PretrainConfig) -> bool:
         # extra, so the extras-free device loader is sufficient
         # (contextpred carries center_substruct_idx in the descriptors)
         else cfg.objective in ("masking", "edgepred", "infomax",
-                               "contextpred")
+                               "contextpred", "supervised")
     )
     if not ok:
         return False
@@ -189,7 +189,7 @@ def build_objective(cfg: PretrainConfig):
 
 def _try_device_loader(cfg, graphs, blocks, mn, me, drop_last,
                        mask_spec=None, neg_spec=None,
-                       bio_mask_spec=None):
+                       bio_mask_spec=None, center_spec=False):
     """DeviceBatchLoader when the dataset flattens cleanly; None = fall
     back to the host packers."""
     from pretrain_gnns_tpu.data.device_pack import DeviceBatchLoader
@@ -200,7 +200,7 @@ def _try_device_loader(cfg, graphs, blocks, mn, me, drop_last,
         return DeviceBatchLoader(
             flat, cfg.batch_size, mn, me, seed=cfg.seed, blocks=blocks,
             drop_last=drop_last, mask_spec=mask_spec, neg_spec=neg_spec,
-            bio_mask_spec=bio_mask_spec,
+            bio_mask_spec=bio_mask_spec, center_spec=center_spec,
         )
     except (ValueError, IndexError) as e:
         # legitimate fallbacks exist (ragged extras, non-integral
@@ -334,7 +334,13 @@ def build_loader(cfg: PretrainConfig, graphs: Sequence[Graph],
         )
     if cfg.objective in ("infomax", "supervised"):
         if use_device_dataset(cfg):
-            dl = _try_device_loader(cfg, graphs, blocks, mn, me, drop_last)
+            dl = _try_device_loader(
+                cfg, graphs, blocks, mn, me, drop_last,
+                # bio supervised: the GraphPred head concatenates the
+                # center-node representation
+                center_spec=(cfg.domain == "bio"
+                             and cfg.objective == "supervised"),
+            )
             if dl is not None:
                 return dl
         # transform-free: rides the flat/C++ packer fast path

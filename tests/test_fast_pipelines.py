@@ -362,3 +362,47 @@ def test_bio_context_device_parity():
     res = pretrain.run_pretrain(cfg, graphs, log=None, epochs=2)
     assert type(res["loader"]).__name__ == "DeviceContextLoader"
     assert all(np.isfinite(h["loss"]) for h in res["history"])
+
+
+def test_bio_supervised_center_device_parity():
+    """Bio supervised on the device-resident path: the center-node slot
+    shipped in the descriptor must index each graph's own center row and
+    yield a GraphPred forward bit-identical to host packing."""
+    import dataclasses as dc
+
+    import jax
+
+    from pretrain_gnns_tpu.data.device_pack import DeviceBatchLoader
+    from pretrain_gnns_tpu.data.flat import FlatGraphs
+    from pretrain_gnns_tpu.objectives import losses as L
+    from pretrain_gnns_tpu.train import finetune as ft
+
+    graphs = bio_dataset(24, num_downstream=3, seed=0, mean_nodes=20)
+    graphs = [
+        dc.replace(g, extras={
+            "center_node_idx": g.extras["center_node_idx"],
+        })
+        for g in graphs
+    ]
+    flat = FlatGraphs.from_graphs(graphs)
+    dl = DeviceBatchLoader(flat, 8, 512, 4096, seed=0, center_spec=True)
+    desc = next(iter(dl))
+    p = dl.prepare(desc)
+    center = np.asarray(p.extras["center_node_idx"])
+    gm = np.asarray(p.graph_mask)
+    assert np.asarray(p.node_mask)[center[gm]].all()
+    np.testing.assert_array_equal(
+        np.asarray(p.node_graph)[center[gm]], np.arange(gm.sum())
+    )
+    cfg = ft.FinetuneConfig(domain="bio", num_tasks=3, num_layer=2,
+                            emb_dim=16, dropout_ratio=0.0, batch_size=8,
+                            packing="standard")
+    model = ft.build_model(cfg)
+    host = flat.pack(desc["gid"][gm], 512, 4096, 8,
+                     extra_pad={"center_node_idx": 8})
+    variables = model.init(jax.random.PRNGKey(0), host, train=False)
+    lh = float(L.plain_bce(model.apply(variables, host, train=False),
+                           host.y, host.graph_mask))
+    ld = float(L.plain_bce(model.apply(variables, p, train=False),
+                           p.y, p.graph_mask))
+    np.testing.assert_allclose(lh, ld, rtol=2e-5)
