@@ -35,10 +35,13 @@ def run(objective: str) -> dict:
         graphs = bio_dataset(2048, num_downstream=3, seed=0, mean_nodes=60)
         for g in graphs:
             g.extras = {"center_node_idx": g.extras["center_node_idx"]}
+        obj = objective[4:]
         cfg = pretrain.PretrainConfig(
-            objective=objective[4:], domain="bio", num_layer=5,
+            objective=obj, domain="bio", num_layer=5,
             emb_dim=300, batch_size=64, seed=0, scan_steps=16,
             packing="auto", epoch_group=EPOCH_GROUP,
+            num_tasks=graphs[0].y.shape[-1],
+            dropout_ratio=0.2 if obj == "supervised" else 0.0,
         )
     else:
         graphs, _ = molecule_dataset(N_GRAPHS, num_tasks=12, seed=0,
@@ -74,7 +77,8 @@ def main():
     inits.set_compute_dtype(os.environ.get("DTYPE", "bfloat16_act"))
     objs = (os.environ.get("OBJS")
             or "masking infomax edgepred contextpred supervised "
-               "bio_masking bio_edgepred bio_infomax bio_contextpred"
+               "bio_masking bio_edgepred bio_infomax bio_contextpred "
+               "bio_supervised"
             ).split()
     for obj in objs:
         print(json.dumps(run(obj)), flush=True)
