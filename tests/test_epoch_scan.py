@@ -188,3 +188,48 @@ def test_epoch_dp_step_math():
     np.testing.assert_allclose(
         float(np.asarray(losses)[0]), np.mean(losses_list), rtol=1e-5
     )
+
+
+def test_grouped_overflow_falls_back_per_epoch():
+    """A dispatch group containing overflow batches must preserve step
+    order by dispatching per epoch — asserted bit-exact against the
+    ungrouped run on a loader whose advertised length forces overflow."""
+    from pretrain_gnns_tpu.train.pretrain import _run_epoch_mode
+
+    graphs, _ = molecule_dataset(64, num_tasks=1, seed=0, mean_atoms=12)
+    cfg = _cfg(scan_steps=4, batch_size=16)
+
+    class CappedLen:
+        """Advertises one batch fewer than real -> steps_cap short by one
+        -> every epoch carries one overflow batch."""
+
+        def __init__(self, inner):
+            self.inner = inner
+
+        def __len__(self):
+            return len(self.inner) - 1
+
+        def epoch_stack(self, steps_cap, n_dev):
+            return self.inner.epoch_stack(steps_cap=steps_cap,
+                                          n_dev=n_dev)
+
+    def run(group_e):
+        model, loader, tx, st = _setup_single(graphs, cfg)
+        step = pretrain.make_epoch_pretrain_step(
+            model, tx, loader.prepare_pure, loader.dev
+        )
+        history = []
+        st = _run_epoch_mode(
+            CappedLen(loader), st, step, None, None, 1, history,
+            None, 1, 3, None, 0, epoch_group=group_e,
+        )
+        assert all("overflow" not in str(h) for h in history)
+        return history, st
+
+    h1, s1 = run(1)
+    h2, s2 = run(3)
+    assert [h["epoch"] for h in h1] == [h["epoch"] for h in h2] == [1, 2, 3]
+    np.testing.assert_allclose(
+        [h["loss"] for h in h1], [h["loss"] for h in h2], rtol=1e-6
+    )
+    _leaves_equal(s1.params, s2.params)
