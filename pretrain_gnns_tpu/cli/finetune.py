@@ -108,6 +108,11 @@ def split_dataset(args, graphs, scaffolds):
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
+    # multi-host bootstrap (no-op unless PGT_* env is set)
+    from pretrain_gnns_tpu.parallel import multihost
+
+    multihost.initialize()
+
     from pretrain_gnns_tpu.data import datasets
     from pretrain_gnns_tpu.train import finetune
     from pretrain_gnns_tpu.train.checkpoints import load_trunk_any

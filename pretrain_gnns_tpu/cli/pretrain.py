@@ -279,6 +279,12 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     args.dropout_ratio = resolve_dropout(args)
 
+    # multi-host bootstrap (no-op unless PGT_COORDINATOR /
+    # PGT_NUM_PROCESSES / PGT_PROCESS_ID are set — see parallel.multihost)
+    from pretrain_gnns_tpu.parallel import multihost
+
+    multihost.initialize()
+
     from pretrain_gnns_tpu.data import datasets
     from pretrain_gnns_tpu.train import pretrain
     from pretrain_gnns_tpu.train.checkpoints import (

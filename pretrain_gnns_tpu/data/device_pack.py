@@ -309,6 +309,8 @@ class EpochStackMixin:
     descriptor dicts, ``last_epoch_stats``, and ``_desc_counts``."""
 
     def _desc_counts(self, d) -> Tuple[int, int]:
+        if "_stub" in d:  # non-local column in a multi-process run
+            return d["_stub"]
         return int(d["gmask"].sum()), int(d["edge_mask"].sum())
 
     def epoch_stack(
@@ -343,8 +345,15 @@ class EpochStackMixin:
             steps_cap = steps
 
         def group(ds: List[Dict[str, np.ndarray]]):
-            """len(ds) == n_dev -> one scan element."""
-            if n_dev <= 1:
+            """len(ds) == n_dev -> one scan element. In a multi-process
+            run (``shard_cols`` set on the loader) non-local columns are
+            stubs: the element keeps only this process's columns and the
+            run loop assembles the global array
+            (parallel.multihost.put_col_sharded)."""
+            ds = [d for d in ds if "_stub" not in d]
+            if not ds:
+                raise ValueError("process owns no columns in this group")
+            if n_dev <= 1 and len(ds) == 1:
                 return ds[0]
             return {
                 k: np.stack([d[k] for d in ds]) for k in ds[0]
@@ -428,6 +437,11 @@ class DeviceBatchLoader(EpochStackMixin):
         self.shuffle, self.seed, self.drop_last = shuffle, seed, drop_last
         self.mask_spec = mask_spec
         self.neg_spec = neg_spec
+        # multi-process input sharding (parallel.multihost): when set to
+        # (n_dev_global, lo, hi), descriptor assembly runs ONLY for
+        # batches whose epoch-stack column (batch_index % n_dev) lands on
+        # this process's devices; other columns yield count-only stubs
+        self.shard_cols: Optional[Tuple[int, int, int]] = None
         self._epoch = 0
         self.last_epoch_stats: Dict[str, float] = {}
         self._lens_n = np.diff(flat.node_off).astype(np.int64)
@@ -692,7 +706,8 @@ class DeviceBatchLoader(EpochStackMixin):
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         order = np.arange(len(self.flat))
-        rng = np.random.default_rng((self.seed, self._epoch))
+        ep = self._epoch
+        rng = np.random.default_rng((self.seed, ep))
         if self.shuffle:
             rng.shuffle(order)
         self._epoch += 1
@@ -711,8 +726,21 @@ class DeviceBatchLoader(EpochStackMixin):
             ids = order[sl]
             n_batches += 1
             n_graphs += len(ids)
-            n_edges += int(self._lens_e[ids].sum())
-            yield self._descriptor(ids, ns[sl], es[sl], rng)
+            ne = int(self._lens_e[ids].sum())
+            n_edges += ne
+            if self.shard_cols is not None:
+                nd, lo, hi = self.shard_cols
+                if not (lo <= b % nd < hi):
+                    # another process's column: counts only (global epoch
+                    # stats stay exact; no descriptor work done here)
+                    yield {"_stub": (len(ids), ne)}
+                    continue
+            # per-batch keyed rng: draws depend only on
+            # (seed, epoch, batch_index), so any subset of batches can be
+            # assembled independently (multi-process input sharding) with
+            # draws identical to the single-process run
+            brng = np.random.default_rng((self.seed, ep, b))
+            yield self._descriptor(ids, ns[sl], es[sl], brng)
         self.last_epoch_stats = {
             "batches": n_batches, "graphs": n_graphs, "edges": n_edges,
             "graphs_per_batch": n_graphs / max(n_batches, 1),

@@ -608,10 +608,19 @@ def resolve_epoch_group(epoch_group: int, steps_cap: int) -> int:
     return max(1, min(8, 256 // max(steps_cap, 1)))
 
 
-def _run_epoch_mode(loader, state, epoch_step, desc_sharding,
-                    valid_sharding, group_w, history, log, start_epoch,
+def _sharding_put(sharding):
+    """Default (single-process) epoch-mode transfer: plain device_put."""
+    if sharding is None:
+        return jax.device_put
+    return lambda tree: jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), tree
+    )
+
+
+def _run_epoch_mode(loader, state, epoch_step, put_desc,
+                    put_valid, group_w, history, log, start_epoch,
                     last_epoch, mgr, checkpoint_every,
-                    epoch_group: int = 0):
+                    epoch_group: int = 0, save_fn=None):
     """Epoch-resident training loop. Per dispatch GROUP (``epoch_group``
     epochs, auto ~256 steps) the host does exactly: (a) build the
     descriptor stacks on the prefetch thread (overlapped with in-flight
@@ -630,12 +639,8 @@ def _run_epoch_mode(loader, state, epoch_step, desc_sharding,
         # silently coarsen an explicitly requested cadence
         group_e = min(group_e, checkpoint_every)
 
-    def put(tree, sharding):
-        if sharding is None:
-            return jax.device_put(tree)
-        return jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, sharding), tree
-        )
+    if save_fn is None:
+        save_fn = lambda st: mgr.save(int(st.step), st)  # noqa: E731
 
     def payloads():
         """Yield (epochs, dispatches): ``epochs`` = [(ep, pack)] rows of
@@ -664,8 +669,7 @@ def _run_epoch_mode(loader, state, epoch_step, desc_sharding,
             # overflow batches must run between their epoch's scan and
             # the next epoch's — per-epoch dispatch preserves the order
             return group, [
-                (put(p["stacked"], desc_sharding),
-                 put(p["valid"], valid_sharding), [p])
+                (put_desc(p["stacked"]), put_valid(p["valid"]), [p])
                 for p in packs
             ]
         stacked = {
@@ -685,8 +689,7 @@ def _run_epoch_mode(loader, state, epoch_step, desc_sharding,
             }
             valid = np.concatenate([valid, np.zeros(pad, bool)])
         return group, [
-            (put(stacked, desc_sharding), put(valid, valid_sharding),
-             packs)
+            (put_desc(stacked), put_valid(valid), packs)
         ]
 
     def finalize(p):
@@ -733,13 +736,12 @@ def _run_epoch_mode(loader, state, epoch_step, desc_sharding,
                 for ov in pack["overflow"]:
                     # surplus batches beyond the static cap: same
                     # per-step shapes, dispatched as a length-1 scan
-                    ovs = put(
+                    ovs = put_desc(
                         jax.tree_util.tree_map(
                             lambda x: np.asarray(x)[None], ov
-                        ),
-                        desc_sharding,
+                        )
                     )
-                    ovalid = put(np.ones(1, bool), valid_sharding)
+                    ovalid = put_valid(np.ones(1, bool))
                     state, l1, m1 = epoch_step(state, ovs, ovalid)
                     loss_sum = loss_sum + jnp.sum(l1)
                     metric_sums = {
@@ -755,7 +757,7 @@ def _run_epoch_mode(loader, state, epoch_step, desc_sharding,
         if mgr and checkpoint_every and rows and any(
             r[0] % checkpoint_every == 0 for r in rows
         ):
-            mgr.save(int(state.step), state)
+            save_fn(state)
     for p in pending:
         finalize(p)
     return state
@@ -815,32 +817,32 @@ def run_pretrain(
     # data axis, resident arrays replicated)
     epoch_mode = prepare is not None and scan_k > 1
     group_w = n_dev if n_dev > 1 else 1
-    if n_dev > 1:
-        from pretrain_gnns_tpu.parallel import dp
-        from pretrain_gnns_tpu.parallel.mesh import make_mesh
-        from jax.sharding import NamedSharding, PartitionSpec as P
 
-        mesh = make_mesh(n_dev)
-        state = jax.device_put(state, NamedSharding(mesh, P()))
-        if epoch_mode:
-            dev = jax.device_put(dev, NamedSharding(mesh, P()))
-            epoch_step = make_epoch_dp_pretrain_step(
-                model, tx, mesh, prepare, dev
+    from pretrain_gnns_tpu.parallel import multihost
+
+    multi = jax.process_count() > 1
+    if multi:
+        # SPMD multi-process (parallel.multihost): global mesh over every
+        # process's devices; this process feeds its own columns only
+        if not epoch_mode:
+            raise RuntimeError(
+                "multi-process training rides the device-resident "
+                "epoch-scan path; set device_dataset='on' and scan_steps>1"
             )
-            desc_sharding = NamedSharding(mesh, P(None, "data"))
-            valid_sharding = NamedSharding(mesh, P())
-            step = None
-        else:
-            step = dp.make_dp_pretrain_step(model, tx, mesh)
-    elif epoch_mode:
-        epoch_step = make_epoch_pretrain_step(model, tx, prepare, dev)
-        desc_sharding = valid_sharding = None
-        step = None
-    else:
-        step = make_pretrain_step(model, tx, prepare, dev)
+        if n_dev != jax.device_count():
+            raise ValueError(
+                f"multi-process runs span all {jax.device_count()} global "
+                f"devices (got dp_devices={cfg.dp_devices})"
+            )
+        if not multihost.is_main():
+            log = None  # process-0-only logging
 
+    # checkpoint manager + restore BEFORE device placement (a
+    # multi-process run restores into the host-side template on every
+    # process, then replicates onto the global mesh)
     mgr = None
     start_epoch = 1
+    save_fn = None
     steps_per_epoch = max(len(loader), 1) if hasattr(loader, "__len__") \
         else None
     if checkpoint_dir:
@@ -854,18 +856,70 @@ def run_pretrain(
                 start_epoch = int(latest) // steps_per_epoch + 1
             if log:
                 log(f"resumed from step {latest} (epoch {start_epoch})")
+        if multi:
+            def save_fn(st):
+                # state is fully replicated: process 0 writes the host
+                # copy; everyone else waits at the barrier
+                if multihost.is_main():
+                    mgr.save(int(st.step), multihost.to_host(st))
+                multihost.sync("checkpoint")
+
+    if n_dev > 1:
+        from pretrain_gnns_tpu.parallel import dp
+        from pretrain_gnns_tpu.parallel.mesh import make_mesh
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = make_mesh(n_dev)
+        if multi:
+            nd, lo, hi = multihost.local_cols(mesh)
+            if not hasattr(loader, "shard_cols"):
+                raise RuntimeError(
+                    "multi-process training needs the DeviceBatchLoader "
+                    f"descriptor pipeline (got {type(loader).__name__})"
+                )
+            loader.shard_cols = (nd, lo, hi)
+            host = lambda t: jax.tree_util.tree_map(np.asarray, t)
+            state = multihost.put_replicated(host(state), mesh)
+            dev = multihost.put_replicated(host(dev), mesh)
+            epoch_step = make_epoch_dp_pretrain_step(
+                model, tx, mesh, prepare, dev
+            )
+            put_desc = lambda t: multihost.put_col_sharded(t, mesh, lo)
+            put_valid = lambda t: multihost.put_replicated(t, mesh)
+            step = None
+        else:
+            state = jax.device_put(state, NamedSharding(mesh, P()))
+            if epoch_mode:
+                dev = jax.device_put(dev, NamedSharding(mesh, P()))
+                epoch_step = make_epoch_dp_pretrain_step(
+                    model, tx, mesh, prepare, dev
+                )
+                put_desc = _sharding_put(
+                    NamedSharding(mesh, P(None, "data"))
+                )
+                put_valid = _sharding_put(NamedSharding(mesh, P()))
+                step = None
+            else:
+                step = dp.make_dp_pretrain_step(model, tx, mesh)
+    elif epoch_mode:
+        epoch_step = make_epoch_pretrain_step(model, tx, prepare, dev)
+        put_desc = put_valid = _sharding_put(None)
+        step = None
+    else:
+        step = make_pretrain_step(model, tx, prepare, dev)
 
     from pretrain_gnns_tpu.data.prefetch import chunked, prefetch
 
     history = []
     if epoch_mode:
         state = _run_epoch_mode(
-            loader, state, epoch_step, desc_sharding, valid_sharding,
+            loader, state, epoch_step, put_desc, put_valid,
             group_w, history, log, start_epoch, epochs or cfg.epochs,
             mgr, checkpoint_every, epoch_group=cfg.epoch_group,
+            save_fn=save_fn,
         )
         if mgr:
-            mgr.save(int(state.step), state)
+            (save_fn or (lambda st: mgr.save(int(st.step), st)))(state)
             mgr.close()
         return {"state": state, "history": history, "model": model,
                 "loader": loader}

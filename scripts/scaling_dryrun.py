@@ -75,8 +75,13 @@ def main():
 
         res = pretrain.run_pretrain(cfg, graphs, log=logcb, epochs=3)
         edges = res["loader"].last_epoch_stats["edges"]
-        # DP drops leftover groups; count edges actually consumed
-        dt = float(np.median(np.diff(times)))
+        # DP drops leftover groups; count edges actually consumed.
+        # Total-wall window across the timed epochs (NOT median of
+        # per-epoch diffs): per-epoch diffs are fooled by prefetch
+        # queue-drain / dispatch-group bursts — the same correction
+        # bench.py and objective_bench.py carry (docs/PERFORMANCE.md §2)
+        n_spans = len(times) - 1
+        dt = (times[-1] - times[0]) / max(n_spans, 1)
         eps = edges / dt
         row = {"devices": w, "edges_per_sec": round(eps, 1)}
         if base is None:

@@ -194,7 +194,8 @@ def test_grouped_overflow_falls_back_per_epoch():
     """A dispatch group containing overflow batches must preserve step
     order by dispatching per epoch — asserted bit-exact against the
     ungrouped run on a loader whose advertised length forces overflow."""
-    from pretrain_gnns_tpu.train.pretrain import _run_epoch_mode
+    from pretrain_gnns_tpu.train.pretrain import (_run_epoch_mode,
+                                              _sharding_put)
 
     graphs, _ = molecule_dataset(64, num_tasks=1, seed=0, mean_atoms=12)
     cfg = _cfg(scan_steps=4, batch_size=16)
@@ -220,7 +221,8 @@ def test_grouped_overflow_falls_back_per_epoch():
         )
         history = []
         st = _run_epoch_mode(
-            CappedLen(loader), st, step, None, None, 1, history,
+            CappedLen(loader), st, step, _sharding_put(None),
+            _sharding_put(None), 1, history,
             None, 1, 3, None, 0, epoch_group=group_e,
         )
         assert all("overflow" not in str(h) for h in history)
