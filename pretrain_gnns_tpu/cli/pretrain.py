@@ -45,8 +45,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dp_devices", type=int, default=1,
                    help="data-parallel devices (0 = all local devices)")
     p.add_argument("--halo_devices", type=int, default=1,
-                   help="edge-partitioned halo execution for the supervised "
-                        "objective: node-shard each batch over N devices")
+                   help="edge-partitioned halo execution: node-shard each "
+                        "batch over N devices (supervised + "
+                        "masking/edgepred/infomax in both domains)")
     p.add_argument("--packing", default="auto",
                    choices=["auto", "standard", "blocked"],
                    help="batch layout: auto = block-diagonal (Pallas) on TPU")
@@ -314,11 +315,19 @@ def main(argv=None):
             transform_device=args.transform_device,
             device_dataset=args.device_dataset,
         )
-        res = pretrain.run_pretrain(
-            cfg, graphs, log=lambda s: print(s, flush=True),
-            checkpoint_dir=args.checkpoint_dir or None,
-            checkpoint_every=args.checkpoint_every,
-        )
+        if getattr(args, "halo_devices", 1) > 1:
+            # edge-partitioned SSL pretraining (parallel/halo_ssl.py):
+            # the giant-ego-network scaling path
+            res = pretrain.run_pretrain_halo(
+                cfg, graphs, args.halo_devices,
+                log=lambda s: print(s, flush=True),
+            )
+        else:
+            res = pretrain.run_pretrain(
+                cfg, graphs, log=lambda s: print(s, flush=True),
+                checkpoint_dir=args.checkpoint_dir or None,
+                checkpoint_every=args.checkpoint_every,
+            )
         history = res["history"]
         trunk_name = (
             "gnn_substruct" if args.objective == "contextpred" else "gnn"

@@ -212,14 +212,18 @@ def _try_device_loader(cfg, graphs, blocks, mn, me, drop_last,
 
 
 def build_loader(cfg: PretrainConfig, graphs: Sequence[Graph],
-                 drop_last: bool = True):
+                 drop_last: bool = True, node_multiple: int = 1):
     """Dataset pipeline per objective (transform placement mirrors the
-    reference's DataLoader workers, SURVEY.md §1)."""
+    reference's DataLoader workers, SURVEY.md §1). ``node_multiple``
+    rounds the node buffer up (halo execution needs N divisible by the
+    shard count)."""
     mn, me = buffer_sizes(graphs, cfg.batch_size)
     blocks = choose_blocks(graphs, cfg.batch_size, cfg.packing)
     if blocks is not None:
         n_blocks, bn, be = blocks
         mn, me = n_blocks * bn, n_blocks * be
+    elif node_multiple > 1:
+        mn = (mn + node_multiple - 1) // node_multiple * node_multiple
     # bio graphs carry a per-graph center_node_idx extra that must be padded
     base_pad = (
         {"center_node_idx": cfg.batch_size} if cfg.domain == "bio" else {}
@@ -1026,6 +1030,126 @@ def run_pretrain(
         mgr.close()
     return {"state": state, "history": history, "model": model,
             "loader": loader}
+
+
+def run_pretrain_halo(
+    cfg: PretrainConfig,
+    graphs: Sequence[Graph],
+    halo_devices: int,
+    log: Optional[Callable[[str], None]] = print,
+    epochs: Optional[int] = None,
+) -> Dict[str, Any]:
+    """Edge-partitioned SSL pretraining: each packed batch is node-sharded
+    over ``halo_devices`` devices with boundary-only all-to-all exchange
+    per conv layer (parallel/halo_ssl.py) — the giant-ego-network scaling
+    path the north star names (bio/pretrain_masking.py etc.). Batches ride
+    the host packing pipeline (the halo layout replaces the device-resident
+    descriptors) and are dispatched ``scan_steps`` at a time through one
+    ``lax.scan`` (the r4 dispatch-amortization lesson, applied here)."""
+    import dataclasses as dc
+
+    from pretrain_gnns_tpu.data.prefetch import chunked, prefetch
+    from pretrain_gnns_tpu.parallel import halo_ssl
+    from pretrain_gnns_tpu.parallel.halo import HaloSharder
+    from pretrain_gnns_tpu.parallel.mesh import make_mesh
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if cfg.objective not in halo_ssl.HALO_SSL_OBJECTIVES:
+        raise ValueError(
+            f"--halo_devices supports {halo_ssl.HALO_SSL_OBJECTIVES} "
+            f"(and supervised via train.finetune), not {cfg.objective!r}"
+        )
+    hcfg = dc.replace(cfg, device_dataset="off", packing="standard")
+    loader = build_loader(hcfg, graphs, node_multiple=halo_devices * 8)
+    model = build_objective(hcfg)
+    prep = lambda b: halo_ssl.prepare_ssl_extras(
+        b, cfg.objective, cfg.domain
+    )
+    first_epoch = [prep(b) for b in loader]
+    if not first_epoch:
+        raise ValueError("empty dataset")
+
+    rng = jax.random.PRNGKey(cfg.seed)
+    rng, init_rng, mask_rng = jax.random.split(rng, 3)
+    variables = jax.jit(
+        lambda k1, k2, b: model.init({"params": k1, "mask": k2}, b,
+                                     train=False)
+    )(init_rng, mask_rng, first_epoch[0])
+    if "batch_stats" not in variables:
+        variables = dict(variables, batch_stats={})
+    tx = optim.adam(cfg.lr, cfg.decay)
+    state = TrainState.create(variables, tx, rng)
+
+    mesh = make_mesh(halo_devices, axis_name="edge")
+    state = jax.device_put(state, NamedSharding(mesh, P()))
+    step = halo_ssl.make_halo_ssl_train_step(
+        mesh, tx, cfg.objective, domain=cfg.domain,
+        num_layer=cfg.num_layer, gnn_type=cfg.gnn_type,
+        drop_ratio=cfg.dropout_ratio,
+    )
+    sharder = HaloSharder(halo_devices, mesh)
+    sharder.reserve(first_epoch)
+    scan_k = resolve_scan_steps(cfg.scan_steps)
+    scan_step = (
+        halo_ssl.make_halo_ssl_scan_step(step) if scan_k > 1 else None
+    )
+    desc_sh = NamedSharding(mesh, P(None, "edge"))
+    batch_sh = NamedSharding(mesh, P("edge"))
+
+    def payloads(batches):
+        """Producer (prefetch thread): host-shard, group into scan_k
+        stacks, initiate the H2D transfer."""
+        host_sharded = map(sharder.shard, batches)
+        if scan_step is None:
+            for hb in host_sharded:
+                yield ("single", jax.device_put(hb, batch_sh))
+            return
+        for group in chunked(host_sharded, scan_k):
+            if len(group) == scan_k:
+                stacked = jax.tree_util.tree_map(
+                    lambda *xs: np.stack([np.asarray(x) for x in xs]),
+                    *group,
+                )
+                yield ("scan", jax.device_put(stacked, desc_sh))
+            else:
+                for hb in group:
+                    yield ("single", jax.device_put(hb, batch_sh))
+
+    history = []
+    for epoch in range(1, (epochs or cfg.epochs) + 1):
+        batches = first_epoch if epoch == 1 else map(prep, iter(loader))
+        loss_parts, nb = [], 0
+        agg: Dict[str, list] = {}
+        for kind, payload in prefetch(payloads(batches), depth=2):
+            if kind == "scan":
+                state, losses_, metrics = scan_step(state, payload)
+                k = scan_k
+            else:
+                state, losses_, metrics = step(state, payload)
+                k = 1
+            loss_parts.append(jnp.sum(losses_))
+            nb += k
+            for key, v in metrics.items():
+                agg.setdefault(key, []).append(jnp.sum(v))
+        tot = float(jnp.sum(jnp.stack(loss_parts))) if loss_parts else 0.0
+        row = {"epoch": epoch, "loss": tot / max(nb, 1)}
+        row.update({
+            k: float(jnp.sum(jnp.stack(v))) / max(nb, 1)
+            for k, v in agg.items()
+        })
+        if epoch == 1 and log:
+            stats = getattr(loader, "last_epoch_stats", None)
+            if stats:
+                log(f"loader: {stats['batches']} batches "
+                    f"(halo x{halo_devices}, "
+                    f"{scan_k if scan_step else 1} steps/dispatch, "
+                    f"reshard {sharder.host_ms_per_batch:.1f} ms/batch)")
+        history.append(row)
+        if log:
+            log(" ".join(f"{k}={v:.4f}" if isinstance(v, float) else
+                         f"{k}={v}" for k, v in row.items()))
+    return {"state": state, "history": history, "model": model,
+            "loader": loader, "sharder": sharder}
 
 
 def trunk_path(cfg: PretrainConfig) -> Tuple[str, ...]:
