@@ -81,6 +81,27 @@ def _edge_embed_fused(mod: nn.Module, edge_feat: jnp.ndarray, dim: int):
     return ein, W, e_self
 
 
+class _DenseParams(nn.Module):
+    """Declares a Dense layer's parameter tree (same names/shapes/inits as
+    ``inits.dense``) without running the matmul — the whole-conv fused GIN
+    kernel consumes the kernels directly while keeping the checkpoint
+    layout identical to the unfused path."""
+
+    features: int
+    fan_in: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", inits.torch_linear_kernel,
+            (self.fan_in, self.features),
+        )
+        b = self.param(
+            "bias", inits.torch_linear_bias(self.fan_in), (self.features,)
+        )
+        return k, b
+
+
 class GINConv(nn.Module):
     """chem/model.py:15-55."""
 
@@ -89,6 +110,25 @@ class GINConv(nn.Module):
     @nn.compact
     def __call__(self, h: jnp.ndarray, g: PackedGraphs) -> jnp.ndarray:
         ein, W, e_self = _edge_embed_fused(self, g.edge_feat, self.emb_dim)
+        blocked = g.block_nodes > 0 and g.block_edges > 0
+        from pretrain_gnns_tpu.ops import pallas_gin
+
+        if pallas_gin.use_fused_conv(blocked):
+            # whole-conv fused kernel: aggregation + self term + the GIN
+            # MLP in one pallas_call (docs/PERFORMANCE.md §1 — the step
+            # is op-count-bound, not kernel-bound)
+            k0, b0 = _DenseParams(2 * self.emb_dim, self.emb_dim,
+                                  name="mlp_0")()
+            k2, b2 = _DenseParams(self.emb_dim, 2 * self.emb_dim,
+                                  name="mlp_2")()
+            cdt = (jnp.float32 if spmm._DTYPE == "float32"
+                   else jnp.bfloat16)
+            return pallas_gin.fused_gin_conv(
+                h, ein, W, e_self, k0, b0, k2, b2, g.senders,
+                g.receivers, g.edge_mask.astype(jnp.float32),
+                g.node_mask, g.block_nodes, g.block_edges, cdt,
+                not spmm._on_tpu(),
+            )
         aggr = spmm.gather_scatter(
             h, None, g.senders, g.receivers, g.edge_mask, g.max_nodes,
             block_nodes=g.block_nodes, block_edges=g.block_edges,
