@@ -178,6 +178,10 @@ def materialize(
     if "negative_edges" in desc:
         extras["negative_edges"] = desc["negative_edges"]
         extras["negative_edges_mask"] = desc["negative_edges_mask"]
+    if "negative_edges_blocked" in desc:
+        extras["negative_edges_blocked"] = desc["negative_edges_blocked"]
+        extras["negative_edges_blocked_mask"] = \
+            desc["negative_edges_blocked_mask"]
     if "masked_edge_idx" in desc:
         # bio edge masking (bio/util.py:46-104): labels from the CLEAN
         # materialized features, then BOTH directions overwritten with
@@ -437,6 +441,11 @@ class DeviceBatchLoader(EpochStackMixin):
         self.shuffle, self.seed, self.drop_last = shuffle, seed, drop_last
         self.mask_spec = mask_spec
         self.neg_spec = neg_spec
+        if neg_spec is not None:
+            # contiguous views for the C++ sampler (once, not per batch)
+            self._send32 = np.ascontiguousarray(flat.send, np.int32)
+            self._recv32 = np.ascontiguousarray(flat.recv, np.int32)
+            self._eoff64 = np.ascontiguousarray(flat.edge_off, np.int64)
         # multi-process input sharding (parallel.multihost): when set to
         # (n_dev_global, lo, hi), descriptor assembly runs ONLY for
         # batches whose epoch-stack column (batch_index % n_dev) lands on
@@ -494,7 +503,7 @@ class DeviceBatchLoader(EpochStackMixin):
             self._add_masking(desc, desc["gid"], desc["gmask"], lens_e,
                               nstart, estart, rng)
         if self.neg_spec is not None:
-            self._add_negatives(desc, ids, nstart[:k], rng)
+            self._add_negatives(desc, ids, nstart[:k], estart[:k], rng)
         if self.bio_mask_spec is not None:
             self._add_bio_masking(desc, ids, estart[:k], rng)
         if self._center_local is not None:
@@ -541,11 +550,64 @@ class DeviceBatchLoader(EpochStackMixin):
         desc["masked_edge_idx_mask"] = m
         desc["masked_edge_bool"] = mb
 
-    def _add_negatives(self, desc, ids, nstarts, rng):
-        """NegativeEdge (chem/util.py:22-52) vectorized in flat-local
-        space: per graph draw 5E uniform pairs, keep the first E//2 that
-        are not self-loops / existing directed edges / earlier picks
-        (shared core: batch_transforms.select_first_valid_np)."""
+    def _add_negatives(self, desc, ids, nstarts, estarts, rng):
+        """NegativeEdge (chem/util.py:22-52) in flat-local space: per
+        graph draw 5E uniform pairs, keep the first E//2 that are not
+        self-loops / existing directed edges / earlier picks. Default
+        path is the C++ sampler (native/packer.cpp::sample_negatives,
+        ~100 us/batch vs 2.5 ms for the vectorized numpy fallback — the
+        numpy sampler was the edgepred pipeline's host gate)."""
+        import ctypes
+
+        from pretrain_gnns_tpu.native import load as load_native
+
+        budget = self.neg_spec["budget"]
+        lib = load_native()
+        as_c = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+        if (self.blocks is not None and lib is not None
+                and hasattr(lib, "sample_negatives_blocked")):
+            # block-aligned layout: block_edges//2 slots per block, so
+            # the edgepred scoring head rides the Pallas edge_dot kernel
+            n_blocks, _, be = self.blocks
+            half = be // 2
+            pairs = np.zeros((n_blocks * half, 2), np.int32)
+            m = np.zeros(n_blocks * half, np.uint8)
+            r = lib.sample_negatives_blocked(
+                as_c(self._send32), as_c(self._recv32),
+                as_c(self._eoff64),
+                as_c(np.ascontiguousarray(ids, np.int64)),
+                ctypes.c_int64(len(ids)),
+                as_c(np.ascontiguousarray(self._lens_n[ids], np.int64)),
+                as_c(np.ascontiguousarray(nstarts, np.int64)),
+                as_c(np.ascontiguousarray(estarts, np.int64)),
+                ctypes.c_int64(be), ctypes.c_int64(n_blocks),
+                ctypes.c_uint64(int(rng.integers(np.uint64(2**63)))),
+                as_c(pairs), as_c(m),
+            )
+            if r < 0:
+                raise ValueError("blocked negative sampling overflow")
+            desc["negative_edges_blocked"] = pairs
+            desc["negative_edges_blocked_mask"] = m.astype(bool)
+            return
+        if lib is not None and hasattr(lib, "sample_negatives"):
+            k = len(ids)
+            pairs = np.zeros((budget, 2), np.int32)
+            m = np.zeros(budget, np.uint8)
+            ids64 = np.ascontiguousarray(ids, np.int64)
+            lens_n = np.ascontiguousarray(self._lens_n[ids], np.int64)
+            nst = np.ascontiguousarray(nstarts, np.int64)
+            r = lib.sample_negatives(
+                as_c(self._send32), as_c(self._recv32),
+                as_c(self._eoff64), as_c(ids64),
+                ctypes.c_int64(k), as_c(lens_n), as_c(nst),
+                ctypes.c_uint64(int(rng.integers(np.uint64(2**63)))),
+                ctypes.c_int64(budget), as_c(pairs), as_c(m),
+            )
+            if r < 0:
+                raise ValueError(f"negative edges > budget {budget}")
+            desc["negative_edges"] = pairs
+            desc["negative_edges_mask"] = m.astype(bool)
+            return
         from pretrain_gnns_tpu.data.batch_transforms import (
             negative_candidates_np, select_negatives_np,
         )

@@ -48,6 +48,8 @@ def load() -> Optional[ctypes.CDLL]:
         lib.pack_batch.restype = ctypes.c_int
         lib.pack_batch_blocked.restype = ctypes.c_int
         lib.plan_epoch.restype = ctypes.c_int64
+        lib.sample_negatives.restype = ctypes.c_int64
+        lib.sample_negatives_blocked.restype = ctypes.c_int64
         _lib = lib
     except OSError:
         _lib = None

@@ -193,4 +193,159 @@ int64_t plan_epoch(
   return in_batch ? batch + 1 : batch;
 }
 
+// NegativeEdge rejection sampling (chem/util.py:22-52) for one batch —
+// the descriptor pipeline's host hot spot for edgepred (the vectorized
+// numpy sampler measured 2.5 ms/batch and gated e2e at 4.6 M edges/s;
+// this loop is the same semantics in ~100 us). Per graph: draw up to
+// 5*E uniform (a, b) pairs, keep the first E/2 that are not self-loops,
+// not existing directed edges, and not duplicates; emit batch-slot
+// pairs. Returns the number of accepted pairs, or -1 on budget overflow.
+//
+// RNG: splitmix64 seeded per (batch_seed, graph) — order-independent,
+// same stream regardless of which process assembles the batch.
+static inline uint64_t splitmix64(uint64_t* s) {
+  uint64_t z = (*s += 0x9e3779b97f4a7c15ull);
+  z = (z ^ (z >> 30)) * 0xbf58476d1ce4e5b9ull;
+  z = (z ^ (z >> 27)) * 0x94d049bb133111ebull;
+  return z ^ (z >> 31);
+}
+
+int64_t sample_negatives(
+    const int32_t* send, const int32_t* recv, const int64_t* edge_off,
+    const int64_t* graph_ids, int64_t n_graphs,
+    const int64_t* lens_n, const int64_t* nstarts,
+    uint64_t seed, int64_t budget,
+    int32_t* out_pairs, uint8_t* out_mask) {
+  int64_t out = 0;
+  // open-addressing set over int64 keys (a*n + b); rebuilt per graph
+  int64_t cap = 0;
+  int64_t* table = nullptr;
+  for (int64_t i = 0; i < n_graphs; ++i) {
+    const int64_t gid = graph_ids[i];
+    const int64_t e0 = edge_off[gid], e1 = edge_off[gid + 1];
+    const int64_t e = e1 - e0;
+    const int64_t n = lens_n[i];
+    const int64_t want = e / 2;
+    if (want <= 0 || n <= 1) continue;
+    // table sized for existing edges + accepted pairs, power of two
+    int64_t need = 2 * (e + want) + 8;
+    int64_t c = 16;
+    while (c < need) c <<= 1;
+    if (c > cap) {
+      delete[] table;
+      table = new int64_t[c];
+      cap = c;
+    }
+    for (int64_t t = 0; t < c; ++t) table[t] = -1;
+    const uint64_t mask = (uint64_t)(c - 1);
+    auto insert = [&](int64_t key) -> bool {  // false if already present
+      uint64_t h = (uint64_t)key * 0x9e3779b97f4a7c15ull;
+      uint64_t p = (h ^ (h >> 29)) & mask;
+      while (table[p] != -1) {
+        if (table[p] == key) return false;
+        p = (p + 1) & mask;
+      }
+      table[p] = key;
+      return true;
+    };
+    for (int64_t k = e0; k < e1; ++k)
+      insert((int64_t)send[k] * n + recv[k]);
+    uint64_t st = seed ^ (0xd1342543de82ef95ull * (uint64_t)(gid + 1));
+    int64_t got = 0;
+    const int64_t base = nstarts[i];
+    for (int64_t d = 0; d < 5 * e && got < want; ++d) {
+      const uint64_t r = splitmix64(&st);
+      const int64_t a = (int64_t)((r >> 32) % (uint64_t)n);
+      const int64_t b = (int64_t)((r & 0xffffffffull) % (uint64_t)n);
+      if (a == b) continue;
+      if (!insert(a * n + b)) continue;  // existing edge or duplicate
+      if (out >= budget) {
+        delete[] table;
+        return -1;
+      }
+      out_pairs[2 * out] = (int32_t)(base + a);
+      out_pairs[2 * out + 1] = (int32_t)(base + b);
+      out_mask[out] = 1;
+      ++out;
+      ++got;
+    }
+  }
+  delete[] table;
+  return out;
+}
+
+// Block-aligned variant: negatives land in per-BLOCK regions of
+// block_edges/2 slots each (graph i's block = estarts[i] / block_edges),
+// so the scoring head can run as a one-hot Pallas kernel (the compacted
+// [K, 2] layout has no block structure). Per-block totals can never
+// exceed block_edges/2 (sum of e_g/2 over a block's graphs <= E_block/2).
+// out_pairs: [n_blocks * half * 2], out_mask: [n_blocks * half], both
+// caller-zeroed. Returns accepted count or -1 on (impossible) overflow.
+int64_t sample_negatives_blocked(
+    const int32_t* send, const int32_t* recv, const int64_t* edge_off,
+    const int64_t* graph_ids, int64_t n_graphs,
+    const int64_t* lens_n, const int64_t* nstarts, const int64_t* estarts,
+    int64_t block_edges, int64_t n_blocks,
+    uint64_t seed,
+    int32_t* out_pairs, uint8_t* out_mask) {
+  const int64_t half = block_edges / 2;
+  int64_t* cursor = new int64_t[n_blocks]();
+  int64_t cap = 0;
+  int64_t* table = nullptr;
+  int64_t total = 0;
+  for (int64_t i = 0; i < n_graphs; ++i) {
+    const int64_t gid = graph_ids[i];
+    const int64_t e0 = edge_off[gid], e1 = edge_off[gid + 1];
+    const int64_t e = e1 - e0;
+    const int64_t n = lens_n[i];
+    const int64_t want = e / 2;
+    if (want <= 0 || n <= 1) continue;
+    const int64_t bk = estarts[i] / block_edges;
+    if (bk < 0 || bk >= n_blocks) { delete[] cursor; delete[] table; return -1; }
+    int64_t need = 2 * (e + want) + 8;
+    int64_t c = 16;
+    while (c < need) c <<= 1;
+    if (c > cap) {
+      delete[] table;
+      table = new int64_t[c];
+      cap = c;
+    }
+    for (int64_t t = 0; t < c; ++t) table[t] = -1;
+    const uint64_t hmask = (uint64_t)(c - 1);
+    auto insert = [&](int64_t key) -> bool {
+      uint64_t h = (uint64_t)key * 0x9e3779b97f4a7c15ull;
+      uint64_t p = (h ^ (h >> 29)) & hmask;
+      while (table[p] != -1) {
+        if (table[p] == key) return false;
+        p = (p + 1) & hmask;
+      }
+      table[p] = key;
+      return true;
+    };
+    for (int64_t k = e0; k < e1; ++k)
+      insert((int64_t)send[k] * n + recv[k]);
+    uint64_t st = seed ^ (0xd1342543de82ef95ull * (uint64_t)(gid + 1));
+    int64_t got = 0;
+    const int64_t base = nstarts[i];
+    for (int64_t d = 0; d < 5 * e && got < want; ++d) {
+      const uint64_t r = splitmix64(&st);
+      const int64_t a = (int64_t)((r >> 32) % (uint64_t)n);
+      const int64_t b = (int64_t)((r & 0xffffffffull) % (uint64_t)n);
+      if (a == b) continue;
+      if (!insert(a * n + b)) continue;
+      const int64_t slot = bk * half + cursor[bk];
+      if (cursor[bk] >= half) { delete[] cursor; delete[] table; return -1; }
+      out_pairs[2 * slot] = (int32_t)(base + a);
+      out_pairs[2 * slot + 1] = (int32_t)(base + b);
+      out_mask[slot] = 1;
+      ++cursor[bk];
+      ++got;
+      ++total;
+    }
+  }
+  delete[] cursor;
+  delete[] table;
+  return total;
+}
+
 }  // extern "C"

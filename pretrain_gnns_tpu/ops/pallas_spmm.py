@@ -576,6 +576,150 @@ blocked_spmm_fused.defvjp(_fused_fwd, _fused_bwd)
 
 
 # ---------------------------------------------------------------------------
+# Blocked per-pair dot products (SDDMM row): score[e] = w[e] * <x[a_e],
+# x[b_e]> for block-local pair lists — the edgepred scoring head. The
+# FORWARD's row gathers are one-hot matmuls like the SpMM; the point is
+# the BACKWARD: autodiff of jnp.take would emit XLA scatter-adds of
+# [E, F] rows, which TPU serializes (profiled at ~1.4 ms/step — it made
+# edgepred 35% slower than masking e2e). Here dx = S_a^T (g ∘ m_b) +
+# S_b^T (g ∘ m_a) — four one-hot MXU passes.
+# ---------------------------------------------------------------------------
+def _edot_fwd_kernel(group, block_nodes, pairs_pb, compute_dtype,
+                     idx_ref, w_ref, x_ref, out_ref):
+    prec = _precision(compute_dtype)
+    node_ids = jax.lax.broadcasted_iota(
+        jnp.int32, (pairs_pb, block_nodes), 1
+    )
+    b = pl.program_id(0)
+    for j in range(group):
+        base = (b * group + j) * block_nodes
+        a = idx_ref[0, 2 * j, :] - base
+        bb = idx_ref[0, 2 * j + 1, :] - base
+        w = w_ref[0, j, :]
+        xj = x_ref[j * block_nodes:(j + 1) * block_nodes, :] \
+            .astype(compute_dtype)
+        Sa = (a[:, None] == node_ids).astype(compute_dtype)
+        Sb = (bb[:, None] == node_ids).astype(compute_dtype)
+        ma = jnp.dot(Sa, xj, preferred_element_type=jnp.float32,
+                     precision=prec)
+        mb = jnp.dot(Sb, xj, preferred_element_type=jnp.float32,
+                     precision=prec)
+        out_ref[0, j, :] = jnp.sum(ma * mb, axis=1) * w
+
+
+def _edot_bwd_kernel(group, block_nodes, pairs_pb, compute_dtype,
+                     idx_ref, w_ref, x_ref, g_ref, dx_ref):
+    prec = _precision(compute_dtype)
+    node_ids = jax.lax.broadcasted_iota(
+        jnp.int32, (pairs_pb, block_nodes), 1
+    )
+    b = pl.program_id(0)
+    for j in range(group):
+        base = (b * group + j) * block_nodes
+        a = idx_ref[0, 2 * j, :] - base
+        bb = idx_ref[0, 2 * j + 1, :] - base
+        gw = g_ref[0, j, :] * w_ref[0, j, :]
+        xj = x_ref[j * block_nodes:(j + 1) * block_nodes, :] \
+            .astype(compute_dtype)
+        Sa = (a[:, None] == node_ids).astype(compute_dtype)
+        Sb = (bb[:, None] == node_ids).astype(compute_dtype)
+        ma = jnp.dot(Sa, xj, preferred_element_type=jnp.float32,
+                     precision=prec)
+        mb = jnp.dot(Sb, xj, preferred_element_type=jnp.float32,
+                     precision=prec)
+        dx_ref[j * block_nodes:(j + 1) * block_nodes, :] = (
+            jnp.dot(Sa.T, (mb * gw[:, None]).astype(compute_dtype),
+                    preferred_element_type=jnp.float32, precision=prec)
+            + jnp.dot(Sb.T, (ma * gw[:, None]).astype(compute_dtype),
+                      preferred_element_type=jnp.float32, precision=prec)
+        ).astype(dx_ref.dtype)
+
+
+def _edot_call(kernel, extra, x, a_idx, b_idx, w, block_nodes, pairs_pb,
+               compute_dtype, interpret, out_kind):
+    N, F = x.shape
+    P = a_idx.shape[0]
+    n_blocks = P // pairs_pb
+    G = _pick_group(n_blocks)
+    FP = _fp(F)
+    args = [
+        _pack_idx(a_idx, b_idx, n_blocks, pairs_pb, G),
+        w.astype(jnp.float32).reshape(n_blocks // G, G, pairs_pb),
+        _pad_f(x, FP),
+    ] + extra
+    in_specs = [
+        pl.BlockSpec((1, 2 * G, pairs_pb), lambda b: (b, 0, 0), **_vmem()),
+        pl.BlockSpec((1, G, pairs_pb), lambda b: (b, 0, 0), **_vmem()),
+        pl.BlockSpec((G * block_nodes, FP), lambda b: (b, 0), **_vmem()),
+    ]
+    if extra:  # backward: the incoming cotangent [P] reshaped like w
+        in_specs.append(
+            pl.BlockSpec((1, G, pairs_pb), lambda b: (b, 0, 0), **_vmem())
+        )
+    if out_kind == "scores":
+        out_spec = pl.BlockSpec((1, G, pairs_pb), lambda b: (b, 0, 0),
+                                **_vmem())
+        out_shape = jax.ShapeDtypeStruct((n_blocks // G, G, pairs_pb),
+                                         jnp.float32)
+    else:
+        out_spec = pl.BlockSpec((G * block_nodes, FP), lambda b: (b, 0),
+                                **_vmem())
+        out_shape = jax.ShapeDtypeStruct((N, FP), x.dtype)
+    out = pl.pallas_call(
+        functools.partial(kernel, G, block_nodes, pairs_pb, compute_dtype),
+        grid=(n_blocks // G,),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*args)
+    if out_kind == "scores":
+        return out.reshape(P)
+    return out[:, :F]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def blocked_edge_dot(
+    x: jnp.ndarray,  # [N, F]
+    a_idx: jnp.ndarray,  # [P] int32 global (block-local pairs)
+    b_idx: jnp.ndarray,  # [P] int32 global
+    w: jnp.ndarray,  # [P] f32 (0 = padded)
+    block_nodes: int,
+    pairs_per_block: int,
+    compute_dtype=jnp.float32,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """score[p] = w[p] * <x[a_idx[p]], x[b_idx[p]]>; Pallas VJP."""
+    return _edot_call(_edot_fwd_kernel, [], x, a_idx, b_idx, w,
+                      block_nodes, pairs_per_block, compute_dtype,
+                      interpret, "scores")
+
+
+def _edot_fwd(x, a_idx, b_idx, w, block_nodes, pairs_per_block,
+              compute_dtype, interpret):
+    out = _edot_call(_edot_fwd_kernel, [], x, a_idx, b_idx, w,
+                     block_nodes, pairs_per_block, compute_dtype,
+                     interpret, "scores")
+    return out, (x, a_idx, b_idx, w)
+
+
+def _edot_bwd(block_nodes, pairs_per_block, compute_dtype, interpret,
+              residuals, g):
+    x, a_idx, b_idx, w = residuals
+    n_blocks = a_idx.shape[0] // pairs_per_block
+    G = _pick_group(n_blocks)
+    gr = [g.astype(jnp.float32).reshape(n_blocks // G, G, pairs_per_block)]
+    dx = _edot_call(_edot_bwd_kernel, gr, x, a_idx, b_idx, w,
+                    block_nodes, pairs_per_block, compute_dtype,
+                    interpret, "dx")
+    f0 = lambda a: np.zeros(a.shape, jax.dtypes.float0)
+    return dx, f0(a_idx), f0(b_idx), jnp.zeros_like(w)
+
+
+blocked_edge_dot.defvjp(_edot_fwd, _edot_bwd)
+
+
+# ---------------------------------------------------------------------------
 # Dispatch hook used by ops.spmm.gather_scatter
 # ---------------------------------------------------------------------------
 def gather_scatter_add(

@@ -147,6 +147,35 @@ def gather_scatter(
     )
 
 
+def edge_dot(
+    x: jnp.ndarray,  # [N, F]
+    a_idx: jnp.ndarray,  # [P] int32
+    b_idx: jnp.ndarray,  # [P] int32
+    mask: jnp.ndarray,  # [P] bool
+    block_nodes: int = 0,
+    pairs_per_block: int = 0,
+) -> jnp.ndarray:
+    """Masked per-pair dot scores ``mask * <x[a], x[b]>`` (the edgepred
+    scoring head). Blocked batches on the Pallas backend route through
+    ``blocked_edge_dot`` whose VJP is one-hot MXU matmuls — the XLA
+    fallback's take/scatter backward serializes on TPU."""
+    blocked = block_nodes > 0 and pairs_per_block > 0
+    use_pallas = _BACKEND == "pallas" or (
+        _BACKEND == "auto" and _on_tpu()
+    )
+    if blocked and use_pallas:
+        from pretrain_gnns_tpu.ops import pallas_spmm
+
+        cdt = jnp.float32 if _DTYPE == "float32" else jnp.bfloat16
+        return pallas_spmm.blocked_edge_dot(
+            x, a_idx, b_idx, mask.astype(jnp.float32), block_nodes,
+            pairs_per_block, cdt, not _on_tpu(),
+        )
+    xa = jnp.take(x, a_idx, axis=0)
+    xb = jnp.take(x, b_idx, axis=0)
+    return jnp.sum(xa * xb, axis=1) * mask.astype(x.dtype)
+
+
 def _xla(x, edge_emb, senders, receivers, edge_mask, num_nodes,
          combine, aggr, edge_weight):
     x_j = jnp.take(x, senders, axis=0)

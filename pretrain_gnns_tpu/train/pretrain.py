@@ -318,11 +318,16 @@ def build_loader(cfg: PretrainConfig, graphs: Sequence[Graph],
                                            **base_pad},
                                 blocks=blocks, drop_last=drop_last)
         if use_device_dataset(cfg):
-            # device-resident dataset; negatives ride the descriptors
-            # (the bio center extra is unused by the SSL trunks, so the
-            # extras-free device loader applies to both domains)
-            dl = _try_device_loader(cfg, graphs, blocks, mn, me, drop_last,
-                                    neg_spec=dict(budget=me // 2))
+            # device-resident dataset. transform_device="device" samples
+            # negatives INSIDE the jitted step
+            # (objectives/edgepred.py::sample_negative_edges) — clean
+            # descriptors; otherwise the host rejection sampler ships
+            # them in the descriptors (neg_spec)
+            dl = _try_device_loader(
+                cfg, graphs, blocks, mn, me, drop_last,
+                neg_spec=(None if cfg.transform_device == "device"
+                          else dict(budget=me // 2)),
+            )
             if dl is not None:
                 return dl
         # flat/C++ packer + ONE vectorized negative-sampling pass
