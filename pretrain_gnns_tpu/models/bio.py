@@ -204,8 +204,12 @@ class SAGEConv(nn.Module):
         s = s + (x + e_self.astype(x.dtype)) * g.node_mask[:, None]
         deg = g.in_degree(include_self_loop=True).astype(jnp.float32)
         mean = s.astype(jnp.float32) / jnp.maximum(deg, 1.0)[:, None]
-        norm = jnp.sqrt(jnp.sum(jnp.square(mean), axis=-1, keepdims=True))
-        return (mean / jnp.maximum(norm, 1e-12)).astype(s.dtype)
+        # double-where: sqrt'(0)=inf on all-zero padded rows would turn
+        # their zero cotangent into NaN (see models/chem.py SAGEConv)
+        sq = jnp.sum(jnp.square(mean), axis=-1, keepdims=True)
+        norm = jnp.sqrt(jnp.where(sq > 0, sq, 1.0))
+        out = jnp.where(sq > 0, mean / jnp.maximum(norm, 1e-12), 0.0)
+        return out.astype(s.dtype)
 
 
 _CONVS = {"gin": GINConv, "gcn": GCNConv, "gat": GATConv,

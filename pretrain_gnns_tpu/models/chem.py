@@ -214,9 +214,14 @@ class SAGEConv(nn.Module):
         s = s + (x + e_self.astype(x.dtype)) * g.node_mask[:, None]
         deg = g.in_degree(include_self_loop=True).astype(jnp.float32)
         mean = s.astype(jnp.float32) / jnp.maximum(deg, 1.0)[:, None]
-        norm = jnp.sqrt(jnp.sum(jnp.square(mean), axis=-1, keepdims=True))
-        # torch F.normalize eps; computed in f32, returned in compute dtype
-        return (mean / jnp.maximum(norm, 1e-12)).astype(s.dtype)
+        # torch F.normalize eps; computed in f32, returned in compute
+        # dtype. The double-where guards sqrt'(0)=inf on all-zero padded
+        # rows — their ZERO cotangent would otherwise become NaN
+        # (0 * inf) and poison the whole gradient.
+        sq = jnp.sum(jnp.square(mean), axis=-1, keepdims=True)
+        norm = jnp.sqrt(jnp.where(sq > 0, sq, 1.0))
+        out = jnp.where(sq > 0, mean / jnp.maximum(norm, 1e-12), 0.0)
+        return out.astype(s.dtype)
 
 
 _CONVS = {"gin": GINConv, "gcn": GCNConv, "gat": GATConv,

@@ -458,8 +458,11 @@ def _conv_sage(cp, h, local, snd_ext, send_idx, rcv_local, n_loc, axis):
     deg = jax.ops.segment_sum(ones, rcv_local, num_segments=n_loc)
     deg = deg + local.node_mask.astype(jnp.float32)
     mean = s / jnp.maximum(deg, 1.0)[:, None]
-    norm = jnp.sqrt(jnp.sum(jnp.square(mean), axis=-1, keepdims=True))
-    return mean / jnp.maximum(norm, 1e-12)
+    # double-where: sqrt'(0)=inf on all-zero padded rows would turn the
+    # zero cotangent into NaN (see models/chem.py SAGEConv)
+    sq = jnp.sum(jnp.square(mean), axis=-1, keepdims=True)
+    norm = jnp.sqrt(jnp.where(sq > 0, sq, 1.0))
+    return jnp.where(sq > 0, mean / jnp.maximum(norm, 1e-12), 0.0)
 
 
 _CHEM_CONVS = {"gin": _conv_gin, "gcn": _conv_gcn, "gat": _conv_gat,
@@ -648,8 +651,11 @@ def _bio_conv_sage(cp, h, local, snd_ext, send_idx, rcv_local, n_loc, axis,
     deg = jax.ops.segment_sum(ones, rcv_local, num_segments=n_loc)
     deg = deg + local.node_mask.astype(jnp.float32)
     mean = s / jnp.maximum(deg, 1.0)[:, None]
-    norm = jnp.sqrt(jnp.sum(jnp.square(mean), axis=-1, keepdims=True))
-    return mean / jnp.maximum(norm, 1e-12)
+    # double-where: sqrt'(0)=inf on all-zero padded rows would turn the
+    # zero cotangent into NaN (see models/chem.py SAGEConv)
+    sq = jnp.sum(jnp.square(mean), axis=-1, keepdims=True)
+    norm = jnp.sqrt(jnp.where(sq > 0, sq, 1.0))
+    return jnp.where(sq > 0, mean / jnp.maximum(norm, 1e-12), 0.0)
 
 
 _BIO_CONVS = {"gin": _bio_conv_gin, "gcn": _bio_conv_gcn,
