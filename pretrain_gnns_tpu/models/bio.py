@@ -165,6 +165,30 @@ class GATConv(nn.Module):
         if self.input_layer:
             h = _input_embed(self, h, D)
             h = h * g.node_mask[:, None]
+        blocked = g.block_nodes > 0 and g.block_edges > 0
+        from pretrain_gnns_tpu.ops import pallas_gat_conv, pallas_gin
+        from pretrain_gnns_tpu.ops import spmm as spmm_mod
+
+        if pallas_gin.use_fused_conv(blocked):
+            # whole-conv fused GAT kernel (ops/pallas_gat_conv.py): the
+            # Linear(9->H*D) encoder rides the kernel as [feat | 1] @
+            # [kernel; bias]
+            ein, We, e_self_flat = _edge_encode_fused(
+                self, g.edge_feat, H * D
+            )
+            att = self.param("att", inits.pyg_glorot, (1, H, 2 * D))
+            bias = self.param("bias", nn.initializers.zeros, (D,))
+            Wl, bl = _DenseParams(H * D, D, name="weight_linear")()
+            cdt = (jnp.float32 if spmm_mod._DTYPE == "float32"
+                   else jnp.bfloat16)
+            return pallas_gat_conv.fused_gat_conv(
+                h.astype(jnp.float32), Wl, bl, ein, We,
+                e_self_flat.reshape(H, D), att[0, :, :D], att[0, :, D:],
+                bias, g.senders, g.receivers,
+                g.edge_mask.astype(jnp.float32),
+                (H, D), (g.block_nodes, g.block_edges), cdt,
+                not spmm_mod._on_tpu(),
+            )
         e_flat, e_self_flat = _edge_encode_lazy(self, g.edge_feat, H * D)
         e = e_flat.reshape(-1, H, D)
         e_self = e_self_flat.reshape(H, D)

@@ -176,6 +176,43 @@ class GATConv(nn.Module):
     @nn.compact
     def __call__(self, h: jnp.ndarray, g: PackedGraphs) -> jnp.ndarray:
         H, D = self.heads, self.emb_dim
+        blocked = g.block_nodes > 0 and g.block_edges > 0
+        from pretrain_gnns_tpu.ops import pallas_gat_conv, pallas_gin
+
+        if pallas_gin.use_fused_conv(blocked):
+            # whole-conv fused kernel: projection, in-kernel edge
+            # embeds, softmax, aggregation, head mean — no [E, H, D]
+            # HBM tensors (docs/PERFORMANCE.md §3 r5)
+            e1 = self.param(
+                "edge_embedding1", inits.xavier_uniform,
+                (NUM_BOND_TYPE, H * D),
+            )
+            e2 = self.param(
+                "edge_embedding2", inits.xavier_uniform,
+                (NUM_BOND_DIRECTION, H * D),
+            )
+            att = self.param("att", inits.pyg_glorot, (1, H, 2 * D))
+            bias = self.param("bias", nn.initializers.zeros, (D,))
+            Wl, bl = _DenseParams(H * D, D, name="weight_linear")()
+            ein = jnp.concatenate([
+                jax.nn.one_hot(g.edge_feat[:, 0], NUM_BOND_TYPE,
+                               dtype=e1.dtype),
+                jax.nn.one_hot(g.edge_feat[:, 1], NUM_BOND_DIRECTION,
+                               dtype=e1.dtype),
+            ], axis=1)
+            We = jnp.concatenate([e1, e2], axis=0)
+            e_self = (e1[SELF_LOOP_BOND_TYPE] + e2[0]).reshape(H, D)
+            cdt = (jnp.float32 if spmm._DTYPE == "float32"
+                   else jnp.bfloat16)
+            return pallas_gat_conv.fused_gat_conv(
+                h.astype(jnp.float32), Wl, bl, ein, We, e_self,
+                att[0, :, :D], att[0, :, D:], bias,
+                g.senders, g.receivers,
+                g.edge_mask.astype(jnp.float32),
+                (H, D), (g.block_nodes, g.block_edges), cdt,
+                not spmm._on_tpu(),
+            )
+
         e_flat, e_self_flat = _edge_embed(self, g.edge_feat, H * D)
         e = e_flat.reshape(-1, H, D)
         e_self = e_self_flat.reshape(H, D)

@@ -26,8 +26,11 @@ softmax is the numerically-stable masked segment softmax:
     den[n] = sum_{e->n} p[e] + exp(l_self[n] - m[n])
     out[n] = ( R^T @ (p * (S @ x + e_feat)) + exp(l_self-m) * msg_self ) / den
 
-Grid = (heads, node_blocks): each program owns one head of one block, so
-every tensor tile is rank-2 and lane-aligned (feature dim padded to 128).
+Grid (r5): ``nb // GROUP`` — each program owns GROUP consecutive node
+blocks with BOTH heads unrolled inside, sharing the S/R one-hot builds
+across heads. The r4 layout (grid = (heads, blocks), 128 tiny programs)
+spent most of its 1.75 ms in per-program DMA stalls: regrouping cut the
+op to ~0.4 ms fwd+bwd at the bench shapes (docs/PERFORMANCE.md §3).
 
 Backward (``blocked_gat_backward``): fused as well. The kernel recomputes
 the segment softmax from the saved scalar projections (flash-attention
@@ -49,6 +52,7 @@ are tiny [N,H]x[H,D] einsums left to XLA — see ops.attention._gat_bwd.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -63,10 +67,28 @@ except Exception:  # pragma: no cover
     _HAS_PLTPU = False
 
 _NEG = -1e30
+# blocks per grid step, bounded by a VMEM budget: the feature tiles
+# ([H*W, DP] x / msg_self / grad and the [H*EPB, DP] edge tiles) double-
+# buffer, so the per-program estimate must stay well under the ~16 MB
+# scoped limit
+_GROUP = int(os.environ.get("PGT_GAT_GROUP", "4"))
+# conservative: Mosaic's scoped-vmem stack also holds the per-head
+# [EPB, W] broadcast temporaries and the double-buffered block windows
+# (measured: a 2.36 MB/block fwd estimate compiled to an 18.8 MB scoped
+# allocation at G=2 — the multiplier is ~4x, so budget accordingly)
+_VMEM_BUDGET = int(os.environ.get("PGT_GAT_VMEM", str(3 * 1024 * 1024)))
 
 
 def _round_up(v: int, m: int) -> int:
     return (v + m - 1) // m * m
+
+
+def _pick_group(nb: int, bytes_per_block: int) -> int:
+    for g in (_GROUP, 4, 2):
+        if (g >= 1 and nb % g == 0
+                and g * bytes_per_block <= _VMEM_BUDGET):
+            return g
+    return 1
 
 
 def _vmem():
@@ -78,53 +100,82 @@ def _precision(compute_dtype):
             if compute_dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
 
 
-def _kernel(block_nodes, block_edges, slope, compute_dtype,
-            snd_ref, rcv_ref, w_ref, ps_ref, pd_ref, pe_ref, sl_ref,
-            x_ref, e_ref, ms_ref, out_ref):
-    b = pl.program_id(1)
-    base = b * block_nodes
-    snd = snd_ref[0, 0, :] - base  # [EPB] block-local
-    rcv = rcv_ref[0, 0, :] - base
-    w = w_ref[0, 0, :]
-    node_ids = jax.lax.broadcasted_iota(
-        jnp.int32, (block_edges, block_nodes), 1
-    )
-    S = snd[:, None] == node_ids  # [EPB, W] bool
-    R = rcv[:, None] == node_ids
+def _layouts(x, e, g_extra, H, D, DP, nb, W, EPB, G,
+             store_dtype=jnp.float32):
+    """Host-side reshapes into the (G blocks) x (heads-inner) layout.
+    Feature tiles are stored in the kernel's compute dtype (bf16 under
+    the mixed-precision knob) — halves the VMEM tiles; the logit scalars
+    stay f32."""
 
-    ps = ps_ref[0, 0, :]  # [W] receiver-side projection x·a_i
-    pd = pd_ref[0, 0, :]  # [W] sender-side projection x·a_j
-    pe = pe_ref[0, 0, :]  # [EPB] edge-feature projection e·a_j
-    sl = sl_ref[0, 0, :]  # [W] self-loop logit (already LeakyReLU'd)
+    def feat_nodes(a):  # [N, H, D] -> [nb, H*W, DP]
+        a = a.astype(store_dtype)
+        if D != DP:
+            a = jnp.pad(a, ((0, 0), (0, 0), (0, DP - D)))
+        return a.reshape(nb, W, H, DP).transpose(0, 2, 1, 3) \
+            .reshape(nb, H * W, DP)
 
-    # SDDMM: per-edge logits from endpoint projections
-    ps_g = jnp.sum(jnp.where(R, ps[None, :], 0.0), axis=1)
-    pd_g = jnp.sum(jnp.where(S, pd[None, :], 0.0), axis=1)
-    logit = ps_g + pd_g + pe
-    logit = jnp.where(logit >= 0, logit, slope * logit)  # LeakyReLU
-    logit = jnp.where(w > 0, logit, _NEG)  # padded edges out of the max
+    def feat_edges(a):  # [E, H, D] -> [nb, H*EPB, DP]
+        a = a.astype(store_dtype)
+        if D != DP:
+            a = jnp.pad(a, ((0, 0), (0, 0), (0, DP - D)))
+        return a.reshape(nb, EPB, H, DP).transpose(0, 2, 1, 3) \
+            .reshape(nb, H * EPB, DP)
 
-    # stable segment softmax incl. the self logit
-    m = jnp.max(jnp.where(R, logit[:, None], _NEG), axis=0)  # [W]
-    m = jnp.maximum(m, sl)
-    m_g = jnp.sum(jnp.where(R, m[None, :], 0.0), axis=1)  # m[rcv[e]]
-    p = jnp.exp(logit - m_g) * w  # [EPB]
-    p_self = jnp.exp(sl - m)  # [W]
-    den = jnp.sum(jnp.where(R, p[:, None], 0.0), axis=0) + p_self
+    def rows_nodes(a):  # [H, N] -> [nb, H, W]
+        return a.reshape(H, nb, W).transpose(1, 0, 2)
 
-    # weighted aggregation on the MXU
+    def rows_edges(a):  # [H, E] -> [nb, H, EPB]
+        return a.reshape(H, nb, EPB).transpose(1, 0, 2)
+
+    return feat_nodes, feat_edges, rows_nodes, rows_edges
+
+
+def _fwd_kernel(G, H, W, EPB, slope, compute_dtype,
+                idx_ref, w_ref, ps_ref, pd_ref, pe_ref, sl_ref,
+                x_ref, e_ref, ms_ref, out_ref):
     prec = _precision(compute_dtype)
-    msg = jnp.dot(
-        S.astype(compute_dtype), x_ref[0].astype(compute_dtype),
-        preferred_element_type=jnp.float32, precision=prec,
-    ) + e_ref[0]
-    numer = jnp.dot(
-        R.astype(compute_dtype).T,
-        (p[:, None] * msg).astype(compute_dtype),
-        preferred_element_type=jnp.float32, precision=prec,
-    )
-    numer = numer + p_self[:, None] * ms_ref[0]
-    out_ref[0] = numer / den[:, None]
+    b = pl.program_id(0)
+    node_ids = jax.lax.broadcasted_iota(jnp.int32, (EPB, W), 1)
+    for j in range(G):
+        base = (b * G + j) * W
+        snd = idx_ref[0, 2 * j, :] - base
+        rcv = idx_ref[0, 2 * j + 1, :] - base
+        w = w_ref[0, j, :]
+        S = snd[:, None] == node_ids  # shared across heads
+        R = rcv[:, None] == node_ids
+        Sc = S.astype(compute_dtype)
+        Rc = R.astype(compute_dtype)
+        for h in range(H):
+            ps = ps_ref[j, h, :]
+            pd = pd_ref[j, h, :]
+            pe = pe_ref[j, h, :]
+            sl = sl_ref[j, h, :]
+            ps_g = jnp.sum(jnp.where(R, ps[None, :], 0.0), axis=1)
+            pd_g = jnp.sum(jnp.where(S, pd[None, :], 0.0), axis=1)
+            logit = ps_g + pd_g + pe
+            logit = jnp.where(logit >= 0, logit, slope * logit)
+            logit = jnp.where(w > 0, logit, _NEG)
+
+            m = jnp.max(jnp.where(R, logit[:, None], _NEG), axis=0)
+            m = jnp.maximum(m, sl)
+            m_g = jnp.sum(jnp.where(R, m[None, :], 0.0), axis=1)
+            p = jnp.exp(logit - m_g) * w
+            p_self = jnp.exp(sl - m)
+            den = jnp.sum(jnp.where(R, p[:, None], 0.0), axis=0) + p_self
+
+            xs = slice(h * W + 0, h * W + W)
+            es = slice(h * EPB, (h + 1) * EPB)
+            msg = jnp.dot(
+                Sc, x_ref[j, xs, :].astype(compute_dtype),
+                preferred_element_type=jnp.float32, precision=prec,
+            ) + e_ref[j, es, :].astype(jnp.float32)
+            numer = jnp.dot(
+                Rc.T, (p[:, None] * msg).astype(compute_dtype),
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+            numer = numer + p_self[:, None] * ms_ref[j, xs, :] \
+                .astype(jnp.float32)
+            out_ref[j, xs, :] = numer / den[:, None]
 
 
 def blocked_gat_forward(
@@ -145,19 +196,15 @@ def blocked_gat_forward(
     """Fused attention forward. Returns [N, H, D] (pre head-mean)."""
     N, H, D = x.shape
     E = senders.shape[0]
-    nb = N // block_nodes
-    assert E == nb * block_edges, (E, nb, block_edges)
+    W, EPB = block_nodes, block_edges
+    nb = N // W
+    assert E == nb * EPB, (E, nb, EPB)
     DP = _round_up(D, 128)
-
-    def pad_hd(a):  # [., H, D] -> [H, ., DP]
-        a = jnp.moveaxis(a, 1, 0)
-        if D != DP:
-            a = jnp.pad(a, ((0, 0), (0, 0), (0, DP - D)))
-        return a
-
-    x3 = pad_hd(x)  # [H, N, DP]
-    e3 = pad_hd(e)  # [H, E, DP]
-    ms = pad_hd(x + e_self[None])  # self-loop message [H, N, DP]
+    isize = jnp.dtype(compute_dtype).itemsize
+    bytes_pb = H * DP * ((2 * W + EPB) * isize + W * 4)
+    G = _pick_group(nb, bytes_pb)
+    fn, fe, rn, re = _layouts(x, e, None, H, D, DP, nb, W, EPB, G,
+                              store_dtype=compute_dtype)
 
     ps = jnp.einsum("nhd,hd->hn", x, a_i[0])  # [H, N]
     pd = jnp.einsum("nhd,hd->hn", x, a_j[0])
@@ -165,123 +212,128 @@ def blocked_gat_forward(
     sl = ps + pd + jnp.einsum("hd,hd->h", e_self, a_j[0])[:, None]
     sl = jnp.where(sl >= 0, sl, slope * sl)  # [H, N]
 
-    # per-(head, block) scalar rows are flattened to [H*nb, 1, k] so the
-    # trailing block dims (1, k) equal the array dims (Mosaic tiling rule)
-    shape3 = lambda a, k: a.reshape(H * nb, 1, k)
-    idx3 = lambda a: a.reshape(nb, 1, block_edges)
+    idx = jnp.concatenate(
+        [senders.reshape(nb, 1, EPB), receivers.reshape(nb, 1, EPB)],
+        axis=1,
+    ).reshape(nb // G, 2 * G, EPB)
 
-    b_spec = lambda k: pl.BlockSpec(
-        (1, 1, k), lambda h, b: (h * nb + b, 0, 0), **_vmem()
-    )
-    idx_spec = pl.BlockSpec(
-        (1, 1, block_edges), lambda h, b: (b, 0, 0), **_vmem()
-    )
     feat_spec = lambda k: pl.BlockSpec(
-        (1, k, DP), lambda h, b: (h, b, 0), **_vmem()
+        (G, H * k, DP), lambda b: (b, 0, 0), **_vmem()
     )
-
+    row_spec = lambda k: pl.BlockSpec(
+        (G, H, k), lambda b: (b, 0, 0), **_vmem()
+    )
     out = pl.pallas_call(
         functools.partial(
-            _kernel, block_nodes, block_edges, slope, compute_dtype
+            _fwd_kernel, G, H, W, EPB, slope, compute_dtype
         ),
-        grid=(H, nb),
+        grid=(nb // G,),
         in_specs=[
-            idx_spec, idx_spec, idx_spec,
-            b_spec(block_nodes),  # ps
-            b_spec(block_nodes),  # pd
-            b_spec(block_edges),  # pe
-            b_spec(block_nodes),  # sl
-            feat_spec(block_nodes),  # x3
-            feat_spec(block_edges),  # e3
-            feat_spec(block_nodes),  # ms
+            pl.BlockSpec((1, 2 * G, EPB), lambda b: (b, 0, 0), **_vmem()),
+            pl.BlockSpec((1, G, EPB), lambda b: (b, 0, 0), **_vmem()),
+            row_spec(W),  # ps
+            row_spec(W),  # pd
+            row_spec(EPB),  # pe
+            row_spec(W),  # sl
+            feat_spec(W),  # x
+            feat_spec(EPB),  # e
+            feat_spec(W),  # msg_self
         ],
-        out_specs=feat_spec(block_nodes),
-        out_shape=jax.ShapeDtypeStruct((H, N, DP), jnp.float32),
+        out_specs=feat_spec(W),
+        out_shape=jax.ShapeDtypeStruct((nb, H * W, DP), jnp.float32),
         interpret=interpret,
     )(
-        idx3(senders), idx3(receivers), idx3(edge_w.astype(jnp.float32)),
-        shape3(ps, block_nodes), shape3(pd, block_nodes),
-        shape3(pe, block_edges), shape3(sl, block_nodes),
-        x3, e3, ms,
+        idx,
+        edge_w.astype(jnp.float32).reshape(nb // G, G, EPB),
+        rn(ps), rn(pd), re(pe), rn(sl),
+        fn(x), fe(e), fn(x + e_self[None]),
     )
-    return jnp.moveaxis(out[:, :, :D], 0, 1)  # [N, H, D]
+    return out.reshape(nb, H, W, DP).transpose(0, 2, 1, 3) \
+        .reshape(N, H, DP)[:, :, :D]
 
 
-def _bwd_kernel(block_nodes, block_edges, slope, compute_dtype,
-                snd_ref, rcv_ref, w_ref, ps_ref, pd_ref, pe_ref, sraw_ref,
+def _bwd_kernel(G, H, W, EPB, slope, compute_dtype,
+                idx_ref, w_ref, ps_ref, pd_ref, pe_ref, sraw_ref,
                 x_ref, e_ref, ms_ref, g_ref,
                 de_ref, dxp_ref, dz_ref, dps_ref, dpd_ref, dzs_ref,
                 as_ref):
-    b = pl.program_id(1)
-    base = b * block_nodes
-    snd = snd_ref[0, 0, :] - base
-    rcv = rcv_ref[0, 0, :] - base
-    w = w_ref[0, 0, :]
-    node_ids = jax.lax.broadcasted_iota(
-        jnp.int32, (block_edges, block_nodes), 1
-    )
-    S = snd[:, None] == node_ids
-    R = rcv[:, None] == node_ids
     prec = _precision(compute_dtype)
+    b = pl.program_id(0)
+    node_ids = jax.lax.broadcasted_iota(jnp.int32, (EPB, W), 1)
+    for j in range(G):
+        base = (b * G + j) * W
+        snd = idx_ref[0, 2 * j, :] - base
+        rcv = idx_ref[0, 2 * j + 1, :] - base
+        w = w_ref[0, j, :]
+        S = snd[:, None] == node_ids
+        R = rcv[:, None] == node_ids
+        Sc = S.astype(compute_dtype)
+        Rc = R.astype(compute_dtype)
+        for h in range(H):
+            ps = ps_ref[j, h, :]
+            pd = pd_ref[j, h, :]
+            pe = pe_ref[j, h, :]
+            sraw = sraw_ref[j, h, :]
+            sl = jnp.where(sraw >= 0, sraw, slope * sraw)
 
-    ps = ps_ref[0, 0, :]
-    pd = pd_ref[0, 0, :]
-    pe = pe_ref[0, 0, :]
-    sraw = sraw_ref[0, 0, :]
-    sl = jnp.where(sraw >= 0, sraw, slope * sraw)
+            # recompute the forward softmax (identical to _fwd_kernel)
+            ps_g = jnp.sum(jnp.where(R, ps[None, :], 0.0), axis=1)
+            pd_g = jnp.sum(jnp.where(S, pd[None, :], 0.0), axis=1)
+            raw = ps_g + pd_g + pe
+            logit = jnp.where(raw >= 0, raw, slope * raw)
+            logit = jnp.where(w > 0, logit, _NEG)
+            m = jnp.max(jnp.where(R, logit[:, None], _NEG), axis=0)
+            m = jnp.maximum(m, sl)
+            m_g = jnp.sum(jnp.where(R, m[None, :], 0.0), axis=1)
+            p = jnp.exp(logit - m_g) * w
+            p_self = jnp.exp(sl - m)
+            den = jnp.sum(jnp.where(R, p[:, None], 0.0), axis=0) + p_self
+            # padded edge slots have no receiver row in this block (R
+            # all-false): den_g would be 0 there while p is already 0 —
+            # guard the 0/0
+            den_g = jnp.sum(jnp.where(R, den[None, :], 0.0), axis=1)
+            alpha = p / jnp.maximum(den_g, 1e-30)  # [EPB]
+            aself = p_self / den  # [W]
 
-    # recompute the forward softmax (identical to _kernel)
-    ps_g = jnp.sum(jnp.where(R, ps[None, :], 0.0), axis=1)
-    pd_g = jnp.sum(jnp.where(S, pd[None, :], 0.0), axis=1)
-    raw = ps_g + pd_g + pe
-    logit = jnp.where(raw >= 0, raw, slope * raw)
-    logit = jnp.where(w > 0, logit, _NEG)
-    m = jnp.max(jnp.where(R, logit[:, None], _NEG), axis=0)
-    m = jnp.maximum(m, sl)
-    m_g = jnp.sum(jnp.where(R, m[None, :], 0.0), axis=1)
-    p = jnp.exp(logit - m_g) * w
-    p_self = jnp.exp(sl - m)
-    den = jnp.sum(jnp.where(R, p[:, None], 0.0), axis=0) + p_self
-    # padded edge slots have no receiver row in this block (R all-false):
-    # den_g would be 0 there while p is already 0 — guard the 0/0
-    den_g = jnp.sum(jnp.where(R, den[None, :], 0.0), axis=1)
-    alpha = p / jnp.maximum(den_g, 1e-30)  # [EPB]
-    aself = p_self / den  # [W]
+            xs = slice(h * W, (h + 1) * W)
+            es = slice(h * EPB, (h + 1) * EPB)
+            g = g_ref[j, xs, :].astype(jnp.float32)  # [W, DP] upstream
+            ms = ms_ref[j, xs, :].astype(jnp.float32)
+            msg = jnp.dot(
+                Sc, x_ref[j, xs, :].astype(compute_dtype),
+                preferred_element_type=jnp.float32, precision=prec,
+            ) + e_ref[j, es, :].astype(jnp.float32)
+            g_r = jnp.dot(
+                Rc, g.astype(compute_dtype),
+                preferred_element_type=jnp.float32, precision=prec,
+            )  # [EPB, DP] = g[rcv[e]]
 
-    g = g_ref[0]  # [W, DP] upstream gradient
-    ms = ms_ref[0]
-    msg = jnp.dot(
-        S.astype(compute_dtype), x_ref[0].astype(compute_dtype),
-        preferred_element_type=jnp.float32, precision=prec,
-    ) + e_ref[0]
-    g_r = jnp.dot(
-        R.astype(compute_dtype), g.astype(compute_dtype),
-        preferred_element_type=jnp.float32, precision=prec,
-    )  # [EPB, DP] = g[rcv[e]]
+            d_alpha = jnp.sum(g_r * msg, axis=1)  # [EPB]
+            d_aself = jnp.sum(g * ms, axis=1)  # [W]
+            c = (
+                jnp.sum(jnp.where(R, (alpha * d_alpha)[:, None], 0.0),
+                        axis=0)
+                + aself * d_aself
+            )  # [W]
+            c_g = jnp.sum(jnp.where(R, c[None, :], 0.0), axis=1)
+            dz = alpha * (d_alpha - c_g)
+            dz = dz * jnp.where(raw >= 0, 1.0, slope)
+            dzs = aself * (d_aself - c)
+            dzs = dzs * jnp.where(sraw >= 0, 1.0, slope)
 
-    d_alpha = jnp.sum(g_r * msg, axis=1)  # [EPB]
-    d_aself = jnp.sum(g * ms, axis=1)  # [W]
-    c = (
-        jnp.sum(jnp.where(R, (alpha * d_alpha)[:, None], 0.0), axis=0)
-        + aself * d_aself
-    )  # [W]
-    c_g = jnp.sum(jnp.where(R, c[None, :], 0.0), axis=1)
-    dz = alpha * (d_alpha - c_g)
-    dz = dz * jnp.where(raw >= 0, 1.0, slope)
-    dzs = aself * (d_aself - c)
-    dzs = dzs * jnp.where(sraw >= 0, 1.0, slope)
-
-    dmsg = alpha[:, None] * g_r  # [EPB, DP] = de (message tile grad)
-    de_ref[0] = dmsg
-    dxp_ref[0] = jnp.dot(
-        S.astype(compute_dtype).T, dmsg.astype(compute_dtype),
-        preferred_element_type=jnp.float32, precision=prec,
-    ) + aself[:, None] * g
-    dz_ref[0, 0, :] = dz
-    dps_ref[0, 0, :] = jnp.sum(jnp.where(R, dz[:, None], 0.0), axis=0)
-    dpd_ref[0, 0, :] = jnp.sum(jnp.where(S, dz[:, None], 0.0), axis=0)
-    dzs_ref[0, 0, :] = dzs
-    as_ref[0, 0, :] = aself
+            dmsg = alpha[:, None] * g_r  # [EPB, DP] = de (message grad)
+            de_ref[j, es, :] = dmsg
+            dxp_ref[j, xs, :] = jnp.dot(
+                Sc.T, dmsg.astype(compute_dtype),
+                preferred_element_type=jnp.float32, precision=prec,
+            ) + aself[:, None] * g
+            dz_ref[j, h, :] = dz
+            dps_ref[j, h, :] = jnp.sum(jnp.where(R, dz[:, None], 0.0),
+                                       axis=0)
+            dpd_ref[j, h, :] = jnp.sum(jnp.where(S, dz[:, None], 0.0),
+                                       axis=0)
+            dzs_ref[j, h, :] = dzs
+            as_ref[j, h, :] = aself
 
 
 def blocked_gat_backward(
@@ -304,82 +356,79 @@ def blocked_gat_backward(
     same shapes as the inputs."""
     N, H, D = x.shape
     E = senders.shape[0]
-    nb = N // block_nodes
+    W, EPB = block_nodes, block_edges
+    nb = N // W
     DP = _round_up(D, 128)
-
-    def pad_hd(a):
-        a = jnp.moveaxis(a, 1, 0)
-        if D != DP:
-            a = jnp.pad(a, ((0, 0), (0, 0), (0, DP - D)))
-        return a
-
-    x3 = pad_hd(x)
-    e3 = pad_hd(e)
-    ms = pad_hd(x + e_self[None])
-    g3 = pad_hd(g)
+    isize = jnp.dtype(compute_dtype).itemsize
+    bytes_pb = H * DP * (
+        (3 * W + EPB) * isize + (EPB + W) * 4
+    )
+    G = _pick_group(nb, bytes_pb)
+    fn, fe, rn, re = _layouts(x, e, g, H, D, DP, nb, W, EPB, G,
+                              store_dtype=compute_dtype)
 
     ps = jnp.einsum("nhd,hd->hn", x, a_i[0])
     pd = jnp.einsum("nhd,hd->hn", x, a_j[0])
     pe = jnp.einsum("ehd,hd->he", e, a_j[0])
     sraw = ps + pd + jnp.einsum("hd,hd->h", e_self, a_j[0])[:, None]
 
-    shape3 = lambda a, k: a.reshape(H * nb, 1, k)
-    idx3 = lambda a: a.reshape(nb, 1, block_edges)
-    b_spec = lambda k: pl.BlockSpec(
-        (1, 1, k), lambda h, b: (h * nb + b, 0, 0), **_vmem()
-    )
-    idx_spec = pl.BlockSpec(
-        (1, 1, block_edges), lambda h, b: (b, 0, 0), **_vmem()
-    )
+    idx = jnp.concatenate(
+        [senders.reshape(nb, 1, EPB), receivers.reshape(nb, 1, EPB)],
+        axis=1,
+    ).reshape(nb // G, 2 * G, EPB)
     feat_spec = lambda k: pl.BlockSpec(
-        (1, k, DP), lambda h, b: (h, b, 0), **_vmem()
+        (G, H * k, DP), lambda b: (b, 0, 0), **_vmem()
+    )
+    row_spec = lambda k: pl.BlockSpec(
+        (G, H, k), lambda b: (b, 0, 0), **_vmem()
     )
 
     de3, dxp3, dz, dps_e, dpd_e, dzs, aself = pl.pallas_call(
         functools.partial(
-            _bwd_kernel, block_nodes, block_edges, slope, compute_dtype
+            _bwd_kernel, G, H, W, EPB, slope, compute_dtype
         ),
-        grid=(H, nb),
+        grid=(nb // G,),
         in_specs=[
-            idx_spec, idx_spec, idx_spec,
-            b_spec(block_nodes), b_spec(block_nodes),
-            b_spec(block_edges), b_spec(block_nodes),
-            feat_spec(block_nodes), feat_spec(block_edges),
-            feat_spec(block_nodes), feat_spec(block_nodes),
+            pl.BlockSpec((1, 2 * G, EPB), lambda b: (b, 0, 0), **_vmem()),
+            pl.BlockSpec((1, G, EPB), lambda b: (b, 0, 0), **_vmem()),
+            row_spec(W), row_spec(W), row_spec(EPB), row_spec(W),
+            feat_spec(W), feat_spec(EPB), feat_spec(W), feat_spec(W),
         ],
         out_specs=[
-            feat_spec(block_edges),  # de tile
-            feat_spec(block_nodes),  # dx message-path
-            b_spec(block_edges),  # dz
-            b_spec(block_nodes),  # dps_e
-            b_spec(block_nodes),  # dpd_e
-            b_spec(block_nodes),  # dzs
-            b_spec(block_nodes),  # alpha_self
+            feat_spec(EPB),  # de tile
+            feat_spec(W),  # dx message-path
+            row_spec(EPB),  # dz
+            row_spec(W),  # dps_e
+            row_spec(W),  # dpd_e
+            row_spec(W),  # dzs
+            row_spec(W),  # alpha_self
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((H, E, DP), jnp.float32),
-            jax.ShapeDtypeStruct((H, N, DP), jnp.float32),
-            jax.ShapeDtypeStruct((H * nb, 1, block_edges), jnp.float32),
-            jax.ShapeDtypeStruct((H * nb, 1, block_nodes), jnp.float32),
-            jax.ShapeDtypeStruct((H * nb, 1, block_nodes), jnp.float32),
-            jax.ShapeDtypeStruct((H * nb, 1, block_nodes), jnp.float32),
-            jax.ShapeDtypeStruct((H * nb, 1, block_nodes), jnp.float32),
+            jax.ShapeDtypeStruct((nb, H * EPB, DP), jnp.float32),
+            jax.ShapeDtypeStruct((nb, H * W, DP), jnp.float32),
+            jax.ShapeDtypeStruct((nb, H, EPB), jnp.float32),
+            jax.ShapeDtypeStruct((nb, H, W), jnp.float32),
+            jax.ShapeDtypeStruct((nb, H, W), jnp.float32),
+            jax.ShapeDtypeStruct((nb, H, W), jnp.float32),
+            jax.ShapeDtypeStruct((nb, H, W), jnp.float32),
         ],
         interpret=interpret,
     )(
-        idx3(senders), idx3(receivers), idx3(edge_w.astype(jnp.float32)),
-        shape3(ps, block_nodes), shape3(pd, block_nodes),
-        shape3(pe, block_edges), shape3(sraw, block_nodes),
-        x3, e3, ms, g3,
+        idx,
+        edge_w.astype(jnp.float32).reshape(nb // G, G, EPB),
+        rn(ps), rn(pd), re(pe), rn(sraw),
+        fn(x), fe(e), fn(x + e_self[None]), fn(g),
     )
 
-    dz = dz.reshape(H, E)
-    dps_e = dps_e.reshape(H, N)
-    dpd_e = dpd_e.reshape(H, N)
-    dzs = dzs.reshape(H, N)
-    aself = aself.reshape(H, N)
-    de_msg = jnp.moveaxis(de3[:, :, :D], 0, 1)  # [E, H, D]
-    dx_msg = jnp.moveaxis(dxp3[:, :, :D], 0, 1)  # [N, H, D]
+    dz = dz.transpose(1, 0, 2).reshape(H, E)
+    dps_e = dps_e.transpose(1, 0, 2).reshape(H, N)
+    dpd_e = dpd_e.transpose(1, 0, 2).reshape(H, N)
+    dzs = dzs.transpose(1, 0, 2).reshape(H, N)
+    aself = aself.transpose(1, 0, 2).reshape(H, N)
+    de_msg = de3.reshape(nb, H, EPB, DP).transpose(0, 2, 1, 3) \
+        .reshape(E, H, DP)[:, :, :D]
+    dx_msg = dxp3.reshape(nb, H, W, DP).transpose(0, 2, 1, 3) \
+        .reshape(N, H, DP)[:, :, :D]
 
     # projection outer products (tiny; left to XLA)
     ai = a_i[0]  # [H, D]

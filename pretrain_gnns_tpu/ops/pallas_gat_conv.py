@@ -1,0 +1,471 @@
+"""Whole-conv fused GAT kernel (Pallas TPU).
+
+The r4 GAT path materialized per-edge, per-head embedding tensors
+``[E, H, D]`` in HBM (59 MB f32 at bench shapes) plus their layout
+transposes and an ``[E, H, D]`` edge-gradient output — measured
+~2.2 ms fwd+bwd at the op regardless of matmul precision (HBM-bound,
+docs/PERFORMANCE.md §3). This kernel executes the ENTIRE GATConv
+(chem/model.py:107-165, bio/model.py:117-180) per block with NO
+[·, H, D] intermediates anywhere:
+
+    x_h   = h @ Wl_h + bl_h                  (head projection, in-kernel)
+    e_h   = ein @ We_h                       (edge embed / encoder)
+    ps/pd = x_h·a_i / x_h·a_j ; pe = e_h·a_j (logit scalars, in-kernel)
+    sl    = LeakyReLU(ps + (x_h + e_self_h)·a_j)      (self logit)
+    alpha = masked segment softmax over receivers (self-loop included)
+    out   = mean_h( (R^T(alpha·(S x_h + e_h)) + alpha_self(x_h+e_self_h))
+                    / den ) + bias
+
+The only non-parameter HBM tensors are ``h [N, Din]``, ``ein [E, K]``,
+the ``[N, D]`` output, and one bf16/f32 ``[N, H*DP]`` projection
+residual for the backward (the softmax is recomputed flash-style; the
+projection matmul is not). Every parameter gradient (dWl, dbl, dWe,
+de_self, da_i, da_j, dbias) accumulates across the sequential grid in
+VMEM, like ops/pallas_gin.py.
+
+Head layout: each head's feature block is padded D -> DP (multiple of
+128) inside the stacked ``[·, H*DP]`` matrices so per-head slices stay
+lane-aligned; the zero-padded tail is inert through every op (projected
+zeros, a_i/a_j zeros).
+
+Serves both domains: chem passes bond one-hots (K=9) against the
+stacked embedding tables; bio passes ``[edge_feat, 1]`` (K=10) against
+``[kernel; bias]`` of its Linear(9 -> H*D) encoder — same algebra.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+from pretrain_gnns_tpu.ops.pallas_spmm import (
+    _pack_idx, _precision, _round_up, _vmem,
+)
+
+_NEG = -1e30
+
+
+def _pick_group(nb: int, bytes_per_block: int,
+                budget: int = 3 * 1024 * 1024) -> int:
+    for g in (8, 4, 2):
+        if nb % g == 0 and g * bytes_per_block <= budget:
+            return g
+    return 1
+
+
+def _pad_heads(a, H, D, DP, lead=None):
+    """[..., H*D] -> [..., H*DP] with per-head zero tail."""
+    if D == DP:
+        return a
+    shp = a.shape[:-1]
+    a = a.reshape(shp + (H, D))
+    pad = [(0, 0)] * len(shp) + [(0, 0), (0, DP - D)]
+    return jnp.pad(a, pad).reshape(shp + (H * DP,))
+
+
+def _softmax_pieces(x, e, es, ai, aj, w, S, R, slope):
+    """Per-(block, head) logits + masked segment softmax (f32)."""
+    x_self = x + es
+    ps = jnp.sum(x * ai[None, :], axis=1)
+    pd = jnp.sum(x * aj[None, :], axis=1)
+    pe = jnp.sum(e * aj[None, :], axis=1)
+    sl_raw = ps + jnp.sum(x_self * aj[None, :], axis=1)
+    sl = jnp.where(sl_raw >= 0, sl_raw, slope * sl_raw)
+
+    ps_g = jnp.sum(jnp.where(R, ps[None, :], 0.0), axis=1)
+    pd_g = jnp.sum(jnp.where(S, pd[None, :], 0.0), axis=1)
+    raw = ps_g + pd_g + pe
+    logit = jnp.where(raw >= 0, raw, slope * raw)
+    logit = jnp.where(w > 0, logit, _NEG)
+    m = jnp.max(jnp.where(R, logit[:, None], _NEG), axis=0)
+    m = jnp.maximum(m, sl)
+    m_g = jnp.sum(jnp.where(R, m[None, :], 0.0), axis=1)
+    p = jnp.exp(logit - m_g) * w
+    p_self = jnp.exp(sl - m)
+    den = jnp.sum(jnp.where(R, p[:, None], 0.0), axis=0) + p_self
+    return x_self, raw, sl_raw, p, p_self, den
+
+
+def _fwd_kernel(group, H, D, DP, W, EPB, slope, compute_dtype, save_res,
+                idx_ref, w_ref, h_ref, Wl_ref, bl_ref, ein_ref, We_ref,
+                es_ref, ai_ref, aj_ref, bias_ref, out_ref, *res):
+    prec = _precision(compute_dtype)
+    b = pl.program_id(0)
+    bias = bias_ref[0, :]
+    node_ids = jax.lax.broadcasted_iota(jnp.int32, (EPB, W), 1)
+    for j in range(group):
+        base = (b * group + j) * W
+        snd = idx_ref[0, 2 * j, :] - base
+        rcv = idx_ref[0, 2 * j + 1, :] - base
+        w = w_ref[0, j, :]
+        S = snd[:, None] == node_ids
+        R = rcv[:, None] == node_ids
+        Sc = S.astype(compute_dtype)
+        Rc = R.astype(compute_dtype)
+        rows = slice(j * W, (j + 1) * W)
+        hb = h_ref[rows, :].astype(compute_dtype)
+        eb = ein_ref[j * EPB:(j + 1) * EPB, :].astype(compute_dtype)
+        acc = None
+        for h in range(H):
+            # per-head params indexed on the LEADING (head) dim
+            x = jnp.dot(
+                hb, Wl_ref[h].astype(compute_dtype),
+                preferred_element_type=jnp.float32, precision=prec,
+            ) + bl_ref[h, 0, :]
+            e = jnp.dot(
+                eb, We_ref[h].astype(compute_dtype),
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+            if save_res:
+                res[0][h, rows, :] = x.astype(res[0].dtype)
+            x_self, raw, sl_raw, p, p_self, den = _softmax_pieces(
+                x, e, es_ref[h, 0, :], ai_ref[h, 0, :], aj_ref[h, 0, :], w, S, R,
+                slope,
+            )
+            msg = jnp.dot(Sc, x.astype(compute_dtype),
+                          preferred_element_type=jnp.float32,
+                          precision=prec) + e
+            numer = jnp.dot(
+                Rc.T, (p[:, None] * msg).astype(compute_dtype),
+                preferred_element_type=jnp.float32, precision=prec,
+            ) + p_self[:, None] * x_self
+            o = numer / den[:, None]
+            acc = o if acc is None else acc + o
+        out_ref[rows, :] = (acc / H + bias).astype(out_ref.dtype)
+
+
+def _bwd_kernel(group, H, D, DP, W, EPB, slope, compute_dtype,
+                idx_ref, w_ref, h_ref, Wl_ref, ein_ref, We_ref,
+                es_ref, ai_ref, aj_ref, x_ref, g_ref,
+                dh_ref, dWl_ref, dbl_ref, dWe_ref, des_ref, dai_ref,
+                daj_ref, dbias_ref):
+    prec = _precision(compute_dtype)
+    b = pl.program_id(0)
+
+    @pl.when(b == 0)
+    def _():
+        dWl_ref[:] = jnp.zeros_like(dWl_ref)
+        dbl_ref[:] = jnp.zeros_like(dbl_ref)
+        dWe_ref[:] = jnp.zeros_like(dWe_ref)
+        des_ref[:] = jnp.zeros_like(des_ref)
+        dai_ref[:] = jnp.zeros_like(dai_ref)
+        daj_ref[:] = jnp.zeros_like(daj_ref)
+        dbias_ref[:] = jnp.zeros_like(dbias_ref)
+
+    node_ids = jax.lax.broadcasted_iota(jnp.int32, (EPB, W), 1)
+    for j in range(group):
+        base = (b * group + j) * W
+        snd = idx_ref[0, 2 * j, :] - base
+        rcv = idx_ref[0, 2 * j + 1, :] - base
+        w = w_ref[0, j, :]
+        S = snd[:, None] == node_ids
+        R = rcv[:, None] == node_ids
+        Sc = S.astype(compute_dtype)
+        Rc = R.astype(compute_dtype)
+        rows = slice(j * W, (j + 1) * W)
+        hb = h_ref[rows, :].astype(compute_dtype)
+        eb = ein_ref[j * EPB:(j + 1) * EPB, :].astype(compute_dtype)
+        gj = g_ref[rows, :].astype(jnp.float32)
+        dbias_ref[0, :] += jnp.sum(gj, axis=0)
+        g = gj / H  # head-mean upstream
+        dh_acc = None
+        for h in range(H):
+            x = x_ref[h, rows, :].astype(jnp.float32)
+            e = jnp.dot(
+                eb, We_ref[h].astype(compute_dtype),
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+            es = es_ref[h, 0, :]
+            ai = ai_ref[h, 0, :]
+            aj = aj_ref[h, 0, :]
+            x_self, raw, sl_raw, p, p_self, den = _softmax_pieces(
+                x, e, es, ai, aj, w, S, R, slope,
+            )
+            den_g = jnp.sum(jnp.where(R, den[None, :], 0.0), axis=1)
+            alpha = p / jnp.maximum(den_g, 1e-30)
+            aself = p_self / den
+
+            msg = jnp.dot(Sc, x.astype(compute_dtype),
+                          preferred_element_type=jnp.float32,
+                          precision=prec) + e
+            g_r = jnp.dot(Rc, g.astype(compute_dtype),
+                          preferred_element_type=jnp.float32,
+                          precision=prec)
+            d_alpha = jnp.sum(g_r * msg, axis=1)
+            d_aself = jnp.sum(g * x_self, axis=1)
+            c = (
+                jnp.sum(jnp.where(R, (alpha * d_alpha)[:, None], 0.0),
+                        axis=0)
+                + aself * d_aself
+            )
+            c_g = jnp.sum(jnp.where(R, c[None, :], 0.0), axis=1)
+            dz = alpha * (d_alpha - c_g)
+            dz = dz * jnp.where(raw >= 0, 1.0, slope)
+            dzs = aself * (d_aself - c)
+            dzs = dzs * jnp.where(sl_raw >= 0, 1.0, slope)
+
+            dmsg = alpha[:, None] * g_r  # [EPB, DP]
+            dz_r = jnp.sum(jnp.where(R, dz[:, None], 0.0), axis=0)
+            dz_s = jnp.sum(jnp.where(S, dz[:, None], 0.0), axis=0)
+            # x grad: message path + self path + logit scalars
+            # (sl_raw = x·a_i + (x + e_self)·a_j -> dzs via both vectors)
+            dx = (
+                jnp.dot(Sc.T, dmsg.astype(compute_dtype),
+                        preferred_element_type=jnp.float32,
+                        precision=prec)
+                + aself[:, None] * g
+                + (dz_r + dzs)[:, None] * ai[None, :]
+                + (dz_s + dzs)[:, None] * aj[None, :]
+            )
+            de = dmsg + dz[:, None] * aj[None, :]
+            # dot_general with explicit contraction dims: materialized
+            # value transposes of non-128-multiple shapes are an
+            # offset-change relayout Mosaic refuses
+            dn = lambda a, b, ca, cb: jax.lax.dot_general(
+                a, b, (((ca,), (cb,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+            dWl_ref[h] += dn(hb, dx.astype(compute_dtype), 0, 0)
+            dbl_ref[h, 0, :] += jnp.sum(dx, axis=0)
+            dWe_ref[h] += dn(eb, de.astype(compute_dtype), 0, 0)
+            dh_h = dn(dx.astype(compute_dtype),
+                      Wl_ref[h].astype(compute_dtype), 1, 1)
+            dh_acc = dh_h if dh_acc is None else dh_acc + dh_h
+            # rank-0 scalar reductions (jnp.sum(dzs)) fail Mosaic
+            # lowering ("Offset change"); keep everything rank-2
+            des_ref[h, 0, :] += jnp.sum(
+                aself[:, None] * g + dzs[:, None] * aj[None, :], axis=0
+            )
+            dai_ref[h, 0, :] += jnp.sum(
+                x * (dz_r + dzs)[:, None], axis=0
+            )
+            daj_ref[h, 0, :] += (
+                jnp.sum(x * (dz_s + dzs)[:, None]
+                        + dzs[:, None] * es[None, :], axis=0)
+                + jnp.sum(e * dz[:, None], axis=0)
+            )
+        dh_ref[rows, :] = dh_acc.astype(dh_ref.dtype)
+
+
+def _prep(h, Wl, bl, ein, We, e_self, a_i, a_j, bias, H, D):
+    """Head-MAJOR parameter layouts ([H, lead8, DP]): Mosaic cannot
+    lane-slice register values (offset-change relayout), so per-head
+    access indexes a LEADING block dim — and because leading-dim
+    indexing strides by the middle dim in sublanes, every middle dim is
+    padded to a multiple of 8."""
+    N, Din = h.shape
+    K = We.shape[0]
+    DP = _round_up(D, 128)
+    Din8 = _round_up(Din, 8)
+    K8 = _round_up(K, 8)
+
+    def hm(a, lead, lead8):  # [lead, H*D] -> [H, lead8, DP]
+        a = a.reshape(lead, H, D).transpose(1, 0, 2)
+        return jnp.pad(a, ((0, 0), (0, lead8 - lead), (0, DP - D)))
+
+    def pv8(a):  # [H, D] -> [H, 8, DP], data in row 0
+        a = a.reshape(H, 1, D)
+        return jnp.pad(a, ((0, 0), (0, 7), (0, DP - D)))
+
+    return (
+        hm(Wl, Din, Din8), pv8(bl.reshape(H, D)), hm(We, K, K8),
+        pv8(e_self), pv8(a_i), pv8(a_j),
+        (jnp.pad(bias, (0, DP - D)) if D != DP else bias).reshape(1, DP),
+        N, Din, K, DP, Din8, K8,
+    )
+
+
+def _common_in_specs(G, W, EPB, Din8, K8, H, DP):
+    return [
+        pl.BlockSpec((1, 2 * G, EPB), lambda b: (b, 0, 0), **_vmem()),
+        pl.BlockSpec((1, G, EPB), lambda b: (b, 0, 0), **_vmem()),
+        pl.BlockSpec((G * W, Din8), lambda b: (b, 0), **_vmem()),  # h
+        pl.BlockSpec((H, Din8, DP), lambda b: (0, 0, 0), **_vmem()),
+    ]
+
+
+def _call_fwd(h, Wl, bl, ein, We, e_self, a_i, a_j, bias, senders,
+              receivers, w, H, D, block_nodes, block_edges,
+              compute_dtype, interpret, save_res=False):
+    (Wlp, blp, Wep, esp, aip, ajp, biasp, N, Din, K, DP, Din8,
+     K8) = _prep(h, Wl, bl, ein, We, e_self, a_i, a_j, bias, H, D)
+    W_, EPB = block_nodes, block_edges
+    nb = N // W_
+    isize = jnp.dtype(compute_dtype).itemsize
+    bytes_pb = (W_ * Din8 + EPB * K8) * isize + W_ * DP * 4 \
+        + (W_ + EPB) * H * DP * 4  # x_all/e_all transients
+    G = _pick_group(nb, bytes_pb)
+    hp = jnp.pad(h, ((0, 0), (0, Din8 - Din))) if Din8 != Din else h
+    einp = jnp.pad(ein, ((0, 0), (0, K8 - K))) if K8 != K else ein
+    args = [
+        _pack_idx(senders, receivers, nb, EPB, G),
+        w.astype(jnp.float32).reshape(nb // G, G, EPB),
+        hp, Wlp, blp, einp,
+        Wep, esp, aip, ajp, biasp,
+    ]
+    in_specs = _common_in_specs(G, W_, EPB, Din8, K8, H, DP)
+    in_specs.insert(4, pl.BlockSpec((H, 8, DP), lambda b: (0, 0, 0),
+                                    **_vmem()))  # bl
+    in_specs += [
+        pl.BlockSpec((G * EPB, K8), lambda b: (b, 0), **_vmem()),  # ein
+        pl.BlockSpec((H, K8, DP), lambda b: (0, 0, 0), **_vmem()),  # We
+        pl.BlockSpec((H, 8, DP), lambda b: (0, 0, 0), **_vmem()),  # es
+        pl.BlockSpec((H, 8, DP), lambda b: (0, 0, 0), **_vmem()),  # a_i
+        pl.BlockSpec((H, 8, DP), lambda b: (0, 0, 0), **_vmem()),  # a_j
+        pl.BlockSpec((1, DP), lambda b: (0, 0), **_vmem()),  # bias
+    ]
+    out_specs = [pl.BlockSpec((G * W_, DP), lambda b: (b, 0), **_vmem())]
+    out_shapes = [jax.ShapeDtypeStruct((N, DP), jnp.float32)]
+    if save_res:
+        out_specs.append(
+            pl.BlockSpec((H, G * W_, DP), lambda b: (0, b, 0), **_vmem())
+        )
+        out_shapes.append(
+            jax.ShapeDtypeStruct((H, N, DP), compute_dtype)
+        )
+    outs = pl.pallas_call(
+        functools.partial(
+            _fwd_kernel, G, H, D, DP, W_, EPB, 0.2, compute_dtype,
+            save_res,
+        ),
+        grid=(nb // G,),
+        in_specs=in_specs,
+        out_specs=out_specs if save_res else out_specs[0],
+        out_shape=out_shapes if save_res else out_shapes[0],
+        interpret=interpret,
+    )(*args)
+    if save_res:
+        out, x_res = outs
+        return out[:, :D], x_res
+    return outs[:, :D]
+
+
+def _call_bwd(g, h, Wl, ein, We, e_self, a_i, a_j, x_res, senders,
+              receivers, w, H, D, block_nodes, block_edges,
+              compute_dtype, interpret):
+    bias = jnp.zeros((D,), jnp.float32)
+    bl = jnp.zeros((Wl.shape[1],), jnp.float32)
+    (Wlp, _, Wep, esp, aip, ajp, _, N, Din, K, DP, Din8, K8) = _prep(
+        h, Wl, bl, ein, We, e_self, a_i, a_j, bias, H, D,
+    )
+    W_, EPB = block_nodes, block_edges
+    nb = N // W_
+    isize = jnp.dtype(compute_dtype).itemsize
+    bytes_pb = (W_ * Din8 + EPB * K8 + W_ * H * DP) * isize \
+        + W_ * DP * 4 + (W_ + EPB) * H * DP * 4
+    G = _pick_group(nb, bytes_pb)
+    gp = jnp.pad(g, ((0, 0), (0, DP - D))) if D != DP else g
+    hp = jnp.pad(h, ((0, 0), (0, Din8 - Din))) if Din8 != Din else h
+    einp = jnp.pad(ein, ((0, 0), (0, K8 - K))) if K8 != K else ein
+    args = [
+        _pack_idx(senders, receivers, nb, EPB, G),
+        w.astype(jnp.float32).reshape(nb // G, G, EPB),
+        hp, Wlp, einp, Wep, esp, aip, ajp, x_res, gp,
+    ]
+    in_specs = _common_in_specs(G, W_, EPB, Din8, K8, H, DP) + [
+        pl.BlockSpec((G * EPB, K8), lambda b: (b, 0), **_vmem()),  # ein
+        pl.BlockSpec((H, K8, DP), lambda b: (0, 0, 0), **_vmem()),  # We
+        pl.BlockSpec((H, 8, DP), lambda b: (0, 0, 0), **_vmem()),  # es
+        pl.BlockSpec((H, 8, DP), lambda b: (0, 0, 0), **_vmem()),  # a_i
+        pl.BlockSpec((H, 8, DP), lambda b: (0, 0, 0), **_vmem()),  # a_j
+        pl.BlockSpec((H, G * W_, DP), lambda b: (0, b, 0), **_vmem()),
+        pl.BlockSpec((G * W_, DP), lambda b: (b, 0), **_vmem()),  # g
+    ]
+    acc = lambda r, c: pl.BlockSpec((r, c), lambda b: (0, 0), **_vmem())
+    acc3 = lambda: pl.BlockSpec((H, 8, DP), lambda b: (0, 0, 0),
+                                **_vmem())
+    outs = pl.pallas_call(
+        functools.partial(
+            _bwd_kernel, G, H, D, DP, W_, EPB, 0.2, compute_dtype,
+        ),
+        grid=(nb // G,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((G * W_, Din8), lambda b: (b, 0), **_vmem()),
+            pl.BlockSpec((H, Din8, DP), lambda b: (0, 0, 0), **_vmem()),
+            acc3(), pl.BlockSpec((H, K8, DP), lambda b: (0, 0, 0),
+                                 **_vmem()),
+            acc3(), acc3(), acc3(), acc(1, DP),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, Din8), jnp.float32),
+            jax.ShapeDtypeStruct((H, Din8, DP), jnp.float32),
+            jax.ShapeDtypeStruct((H, 8, DP), jnp.float32),
+            jax.ShapeDtypeStruct((H, K8, DP), jnp.float32),
+            jax.ShapeDtypeStruct((H, 8, DP), jnp.float32),
+            jax.ShapeDtypeStruct((H, 8, DP), jnp.float32),
+            jax.ShapeDtypeStruct((H, 8, DP), jnp.float32),
+            jax.ShapeDtypeStruct((1, DP), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*args)
+    dh, dWl, dbl, dWe, des, dai, daj, dbias = outs
+
+    def hm_back(a, lead):  # [H, lead8, DP] -> [lead, H*D]
+        return a[:, :lead, :D].transpose(1, 0, 2).reshape(lead, H * D)
+
+    return (dh[:, :Din], hm_back(dWl, Din),
+            dbl[:, 0, :D].reshape(H * D), hm_back(dWe, K),
+            des[:, 0, :D], dai[:, 0, :D], daj[:, 0, :D], dbias[0, :D])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14, 15))
+def fused_gat_conv(
+    h: jnp.ndarray,  # [N, Din] node features
+    Wl: jnp.ndarray,  # [Din, H*D] weight_linear kernel
+    bl: jnp.ndarray,  # [H*D] weight_linear bias
+    ein: jnp.ndarray,  # [E, K] bond one-hots / encoder inputs
+    We: jnp.ndarray,  # [K, H*D] stacked edge tables / encoder (+bias row)
+    e_self: jnp.ndarray,  # [H, D]
+    a_i: jnp.ndarray,  # [H, D]
+    a_j: jnp.ndarray,  # [H, D]
+    bias: jnp.ndarray,  # [D] output bias (after head mean)
+    senders: jnp.ndarray,  # [E] int32 global
+    receivers: jnp.ndarray,  # [E]
+    w: jnp.ndarray,  # [E] f32 edge weight (mask folded)
+    heads_D: Tuple[int, int],  # (H, D) static
+    block_sizes: Tuple[int, int],  # (block_nodes, block_edges)
+    compute_dtype=jnp.float32,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    H, D = heads_D
+    bn, be = block_sizes
+    return _call_fwd(h, Wl, bl, ein, We, e_self, a_i, a_j, bias,
+                     senders, receivers, w, H, D, bn, be, compute_dtype,
+                     interpret)
+
+
+def _gat_fwd(h, Wl, bl, ein, We, e_self, a_i, a_j, bias, senders,
+             receivers, w, heads_D, block_sizes, compute_dtype,
+             interpret):
+    H, D = heads_D
+    bn, be = block_sizes
+    out, x_res = _call_fwd(h, Wl, bl, ein, We, e_self, a_i, a_j, bias,
+                           senders, receivers, w, H, D, bn, be,
+                           compute_dtype, interpret, save_res=True)
+    return out, (h, Wl, ein, We, e_self, a_i, a_j, x_res, senders,
+                 receivers, w)
+
+
+def _gat_bwd(heads_D, block_sizes, compute_dtype, interpret,
+             residuals, g):
+    H, D = heads_D
+    bn, be = block_sizes
+    (h, Wl, ein, We, e_self, a_i, a_j, x_res, senders, receivers,
+     w) = residuals
+    dh, dWl, dbl, dWe, des, dai, daj, dbias = _call_bwd(
+        g, h, Wl, ein, We, e_self, a_i, a_j, x_res, senders, receivers,
+        w, H, D, bn, be, compute_dtype, interpret,
+    )
+    f0 = lambda a: np.zeros(a.shape, jax.dtypes.float0)
+    return (dh.astype(h.dtype), dWl, dbl, jnp.zeros_like(ein), dWe,
+            des, dai, daj, dbias, f0(senders), f0(receivers),
+            jnp.zeros_like(w))
+
+
+fused_gat_conv.defvjp(_gat_fwd, _gat_bwd)
