@@ -186,6 +186,12 @@ def _supervised(args, graphs, meta):
             res["history"],
         )
 
+    if args.checkpoint_dir:
+        raise SystemExit(
+            "--checkpoint_dir is not supported with --halo_devices for "
+            "the supervised objective (the halo GraphPred loop has no "
+            "mid-run checkpointing); drop one of the flags"
+        )
     cfg = ft.FinetuneConfig(
         domain=args.domain, num_tasks=num_tasks, num_layer=args.num_layer,
         emb_dim=args.emb_dim, dropout_ratio=args.dropout_ratio,
@@ -321,6 +327,8 @@ def main(argv=None):
             res = pretrain.run_pretrain_halo(
                 cfg, graphs, args.halo_devices,
                 log=lambda s: print(s, flush=True),
+                checkpoint_dir=args.checkpoint_dir or None,
+                checkpoint_every=args.checkpoint_every,
             )
         else:
             res = pretrain.run_pretrain(
@@ -334,7 +342,9 @@ def main(argv=None):
         )
         trunk_vars = pretrain.trunk_variables(res["state"], trunk_name)
 
-    if args.output_model_file:
+    if args.output_model_file and multihost.is_main():
+        # process-0 only: in an N-host run every process holds the same
+        # replicated trunk; concurrent writes would tear the file
         path = args.output_model_file + ".pth"
         save_trunk_reference_format(trunk_vars, path)
         print(f"saved trunk -> {path}")

@@ -90,24 +90,7 @@ def _edge_encode_lazy(mod, edge_feat, dim):
     return e, kernel[SELF_LOOP_DIM] + bias
 
 
-class _DenseParams(nn.Module):
-    """Declares a Dense layer's parameter tree (kernel/bias with the torch
-    default inits) without ever running the matmul — for fused paths that
-    consume the weights directly."""
-
-    features: int
-    fan_in: int
-
-    @nn.compact
-    def __call__(self):
-        kernel = self.param(
-            "kernel", inits.torch_linear_kernel,
-            (self.fan_in, self.features),
-        )
-        bias = self.param(
-            "bias", inits.torch_linear_bias(self.fan_in), (self.features,)
-        )
-        return kernel, bias
+_DenseParams = inits.DenseParams
 
 
 def _edge_encode_fused(mod, edge_feat, dim):

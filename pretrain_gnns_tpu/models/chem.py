@@ -81,25 +81,7 @@ def _edge_embed_fused(mod: nn.Module, edge_feat: jnp.ndarray, dim: int):
     return ein, W, e_self
 
 
-class _DenseParams(nn.Module):
-    """Declares a Dense layer's parameter tree (same names/shapes/inits as
-    ``inits.dense``) without running the matmul — the whole-conv fused GIN
-    kernel consumes the kernels directly while keeping the checkpoint
-    layout identical to the unfused path."""
-
-    features: int
-    fan_in: int
-
-    @nn.compact
-    def __call__(self):
-        k = self.param(
-            "kernel", inits.torch_linear_kernel,
-            (self.fan_in, self.features),
-        )
-        b = self.param(
-            "bias", inits.torch_linear_bias(self.fan_in), (self.features,)
-        )
-        return k, b
+_DenseParams = inits.DenseParams
 
 
 class GINConv(nn.Module):
@@ -183,29 +165,17 @@ class GATConv(nn.Module):
             # whole-conv fused kernel: projection, in-kernel edge
             # embeds, softmax, aggregation, head mean — no [E, H, D]
             # HBM tensors (docs/PERFORMANCE.md §3 r5)
-            e1 = self.param(
-                "edge_embedding1", inits.xavier_uniform,
-                (NUM_BOND_TYPE, H * D),
-            )
-            e2 = self.param(
-                "edge_embedding2", inits.xavier_uniform,
-                (NUM_BOND_DIRECTION, H * D),
+            ein, We, e_self_flat = _edge_embed_fused(
+                self, g.edge_feat, H * D
             )
             att = self.param("att", inits.pyg_glorot, (1, H, 2 * D))
             bias = self.param("bias", nn.initializers.zeros, (D,))
             Wl, bl = _DenseParams(H * D, D, name="weight_linear")()
-            ein = jnp.concatenate([
-                jax.nn.one_hot(g.edge_feat[:, 0], NUM_BOND_TYPE,
-                               dtype=e1.dtype),
-                jax.nn.one_hot(g.edge_feat[:, 1], NUM_BOND_DIRECTION,
-                               dtype=e1.dtype),
-            ], axis=1)
-            We = jnp.concatenate([e1, e2], axis=0)
-            e_self = (e1[SELF_LOOP_BOND_TYPE] + e2[0]).reshape(H, D)
             cdt = (jnp.float32 if spmm._DTYPE == "float32"
                    else jnp.bfloat16)
             return pallas_gat_conv.fused_gat_conv(
-                h.astype(jnp.float32), Wl, bl, ein, We, e_self,
+                h.astype(jnp.float32), Wl, bl, ein, We,
+                e_self_flat.reshape(H, D),
                 att[0, :, :D], att[0, :, D:], bias,
                 g.senders, g.receivers,
                 g.edge_mask.astype(jnp.float32),

@@ -100,6 +100,26 @@ class _DenseMixed(nn.Dense):
         return super().__call__(x).astype(jnp.float32)
 
 
+class DenseParams(nn.Module):
+    """Declares a Dense layer's parameter tree (kernel/bias with the
+    torch default inits, identical to :func:`dense`) without running the
+    matmul — for fused kernels that consume the weights directly while
+    keeping the checkpoint layout unchanged."""
+
+    features: int
+    fan_in: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", torch_linear_kernel, (self.fan_in, self.features)
+        )
+        bias = self.param(
+            "bias", torch_linear_bias(self.fan_in), (self.features,)
+        )
+        return kernel, bias
+
+
 def dense(features: int, fan_in: int, name: str, use_bias: bool = True):
     """A flax Dense with torch-default init (see module docstring).
     Computation and output dtype follow the mixed-precision knob above."""

@@ -100,7 +100,7 @@ def _precision(compute_dtype):
             if compute_dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
 
 
-def _layouts(x, e, g_extra, H, D, DP, nb, W, EPB, G,
+def _layouts(x, e, H, D, DP, nb, W, EPB, G,
              store_dtype=jnp.float32):
     """Host-side reshapes into the (G blocks) x (heads-inner) layout.
     Feature tiles are stored in the kernel's compute dtype (bf16 under
@@ -203,7 +203,7 @@ def blocked_gat_forward(
     isize = jnp.dtype(compute_dtype).itemsize
     bytes_pb = H * DP * ((2 * W + EPB) * isize + W * 4)
     G = _pick_group(nb, bytes_pb)
-    fn, fe, rn, re = _layouts(x, e, None, H, D, DP, nb, W, EPB, G,
+    fn, fe, rn, re = _layouts(x, e, H, D, DP, nb, W, EPB, G,
                               store_dtype=compute_dtype)
 
     ps = jnp.einsum("nhd,hd->hn", x, a_i[0])  # [H, N]
@@ -364,7 +364,7 @@ def blocked_gat_backward(
         (3 * W + EPB) * isize + (EPB + W) * 4
     )
     G = _pick_group(nb, bytes_pb)
-    fn, fe, rn, re = _layouts(x, e, g, H, D, DP, nb, W, EPB, G,
+    fn, fe, rn, re = _layouts(x, e, H, D, DP, nb, W, EPB, G,
                               store_dtype=compute_dtype)
 
     ps = jnp.einsum("nhd,hd->hn", x, a_i[0])

@@ -1043,6 +1043,8 @@ def run_pretrain_halo(
     halo_devices: int,
     log: Optional[Callable[[str], None]] = print,
     epochs: Optional[int] = None,
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every: int = 0,
 ) -> Dict[str, Any]:
     """Edge-partitioned SSL pretraining: each packed batch is node-sharded
     over ``halo_devices`` devices with boundary-only all-to-all exchange
@@ -1064,14 +1066,36 @@ def run_pretrain_halo(
             f"--halo_devices supports {halo_ssl.HALO_SSL_OBJECTIVES} "
             f"(and supervised via train.finetune), not {cfg.objective!r}"
         )
-    hcfg = dc.replace(cfg, device_dataset="off", packing="standard")
+    # halo batches are host-packed: the jitted-step masking variant
+    # ("device") has no extras for the halo losses to consume — route it
+    # through the vectorized host pass instead
+    td = ("batch" if (cfg.objective == "masking"
+                      and cfg.transform_device == "device")
+          else cfg.transform_device)
+    hcfg = dc.replace(cfg, device_dataset="off", packing="standard",
+                      transform_device=td)
     loader = build_loader(hcfg, graphs, node_multiple=halo_devices * 8)
     model = build_objective(hcfg)
     prep = lambda b: halo_ssl.prepare_ssl_extras(
         b, cfg.objective, cfg.domain
     )
-    first_epoch = [prep(b) for b in loader]
-    if not first_epoch:
+
+    mesh = make_mesh(halo_devices, axis_name="edge")
+    sharder = HaloSharder(halo_devices, mesh)
+    # ONE streaming pass sizes the shard buffers (route_stats only) and
+    # keeps the first batch for init — O(1 batch) host memory, not
+    # O(epoch) (the giant-graph datasets halo exists for don't fit)
+    first_holder = []
+
+    def sizing_pass():
+        for b in loader:
+            pb = prep(b)
+            if not first_holder:
+                first_holder.append(pb)
+            yield pb
+
+    sharder.reserve(sizing_pass())
+    if not first_holder:
         raise ValueError("empty dataset")
 
     rng = jax.random.PRNGKey(cfg.seed)
@@ -1079,21 +1103,32 @@ def run_pretrain_halo(
     variables = jax.jit(
         lambda k1, k2, b: model.init({"params": k1, "mask": k2}, b,
                                      train=False)
-    )(init_rng, mask_rng, first_epoch[0])
+    )(init_rng, mask_rng, first_holder[0])
     if "batch_stats" not in variables:
         variables = dict(variables, batch_stats={})
     tx = optim.adam(cfg.lr, cfg.decay)
     state = TrainState.create(variables, tx, rng)
 
-    mesh = make_mesh(halo_devices, axis_name="edge")
+    mgr = None
+    start_epoch = 1
+    steps_per_epoch = max(len(loader), 1)
+    if checkpoint_dir:
+        from pretrain_gnns_tpu.train.checkpoints import CheckpointManager
+
+        mgr = CheckpointManager(checkpoint_dir)
+        latest = mgr.latest_step()
+        if latest is not None:
+            state = mgr.restore(state, latest)
+            start_epoch = int(latest) // steps_per_epoch + 1
+            if log:
+                log(f"resumed from step {latest} (epoch {start_epoch})")
+
     state = jax.device_put(state, NamedSharding(mesh, P()))
     step = halo_ssl.make_halo_ssl_train_step(
         mesh, tx, cfg.objective, domain=cfg.domain,
         num_layer=cfg.num_layer, gnn_type=cfg.gnn_type,
         drop_ratio=cfg.dropout_ratio,
     )
-    sharder = HaloSharder(halo_devices, mesh)
-    sharder.reserve(first_epoch)
     scan_k = resolve_scan_steps(cfg.scan_steps)
     scan_step = (
         halo_ssl.make_halo_ssl_scan_step(step) if scan_k > 1 else None
@@ -1121,8 +1156,8 @@ def run_pretrain_halo(
                     yield ("single", jax.device_put(hb, batch_sh))
 
     history = []
-    for epoch in range(1, (epochs or cfg.epochs) + 1):
-        batches = first_epoch if epoch == 1 else map(prep, iter(loader))
+    for epoch in range(start_epoch, (epochs or cfg.epochs) + 1):
+        batches = map(prep, iter(loader))
         loss_parts, nb = [], 0
         agg: Dict[str, list] = {}
         for kind, payload in prefetch(payloads(batches), depth=2):
@@ -1142,7 +1177,7 @@ def run_pretrain_halo(
             k: float(jnp.sum(jnp.stack(v))) / max(nb, 1)
             for k, v in agg.items()
         })
-        if epoch == 1 and log:
+        if epoch == start_epoch and log:
             stats = getattr(loader, "last_epoch_stats", None)
             if stats:
                 log(f"loader: {stats['batches']} batches "
@@ -1153,6 +1188,11 @@ def run_pretrain_halo(
         if log:
             log(" ".join(f"{k}={v:.4f}" if isinstance(v, float) else
                          f"{k}={v}" for k, v in row.items()))
+        if mgr and checkpoint_every and epoch % checkpoint_every == 0:
+            mgr.save(int(state.step), state)
+    if mgr:
+        mgr.save(int(state.step), state)
+        mgr.close()
     return {"state": state, "history": history, "model": model,
             "loader": loader, "sharder": sharder}
 
