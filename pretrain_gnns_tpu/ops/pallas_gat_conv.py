@@ -50,8 +50,15 @@ from pretrain_gnns_tpu.ops.pallas_spmm import (
 _NEG = -1e30
 
 
+import os as _os
+
+_VMEM_BUDGET = int(_os.environ.get("PGT_GATCONV_VMEM",
+                                   str(3 * 1024 * 1024)))
+
+
 def _pick_group(nb: int, bytes_per_block: int,
-                budget: int = 3 * 1024 * 1024) -> int:
+                budget: int = 0) -> int:
+    budget = budget or _VMEM_BUDGET
     for g in (8, 4, 2):
         if nb % g == 0 and g * bytes_per_block <= budget:
             return g
