@@ -160,3 +160,28 @@ def test_halo_ssl_scan_step_matches_per_batch():
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-7, err_msg=str(pa))
+
+
+def test_run_pretrain_halo_checkpoint_resume(tmp_path):
+    """Halo SSL checkpoint/resume (r5 review fix): an interrupted run
+    restores the latest step and continues at the right epoch, and the
+    transform_device='device' masking variant is routed to the host
+    batch transform (the jitted-step variant ships no extras)."""
+    cfg = _cfg("chem", "masking", mask_edge=False,
+               transform_device="device")
+    graphs = _graphs("chem")
+    d = str(tmp_path / "ck")
+
+    logs = []
+    res1 = pretrain.run_pretrain_halo(
+        cfg, graphs, N_SHARDS, log=logs.append, epochs=2,
+        checkpoint_dir=d, checkpoint_every=1,
+    )
+    assert len(res1["history"]) == 2
+    res2 = pretrain.run_pretrain_halo(
+        cfg, graphs, N_SHARDS, log=logs.append, epochs=3,
+        checkpoint_dir=d,
+    )
+    assert any("resumed from step" in m for m in logs)
+    assert [h["epoch"] for h in res2["history"]] == [3]
+    assert int(res2["state"].step) > int(res1["state"].step)
