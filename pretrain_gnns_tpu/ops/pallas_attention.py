@@ -28,9 +28,12 @@ softmax is the numerically-stable masked segment softmax:
 
 Grid (r5): ``nb // GROUP`` — each program owns GROUP consecutive node
 blocks with BOTH heads unrolled inside, sharing the S/R one-hot builds
-across heads. The r4 layout (grid = (heads, blocks), 128 tiny programs)
-spent most of its 1.75 ms in per-program DMA stalls: regrouping cut the
-op to ~0.4 ms fwd+bwd at the bench shapes (docs/PERFORMANCE.md §3).
+across heads (VMEM-budgeted group; measured NEUTRAL vs the r4
+(heads, blocks) layout — the op is bound by its per-(block, head)
+HBM traffic and op sequence, not program count). The real r5 GAT win is
+the whole-conv kernel in ops/pallas_gat_conv.py, which removes the
+[E, H, D] HBM tensors this kernel still consumes; this module remains
+the attention-only A/B reference path (docs/PERFORMANCE.md §3).
 
 Backward (``blocked_gat_backward``): fused as well. The kernel recomputes
 the segment softmax from the saved scalar projections (flash-attention
